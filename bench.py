@@ -1,0 +1,78 @@
+"""Benchmark: flagship model throughput on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Measures images/sec of the flagship ``oda2_red_order_swin2`` (Swin-L encoder,
+dec_dim 512, num_repeats 3, neck red33 — the reference's best KITTI config,
+``json/kitti/oda2/oda2_red_order_swin2_neck_red33.json``) at KITTI train shape
+352x704 (internally resized to 448x896), bf16 activations, inference forward.
+
+Baseline: the reference publishes no numbers (BASELINE.md). ``vs_baseline``
+is computed against an *estimated* 8 img/s for the same model in torch fp32 on
+the reference's dev GPU (RTX 3080 Ti): ~0.5 TFLOP-fwd/img at the ~15% fp32
+utilization typical for Swin-style stacks on that part. The estimate is
+documented here so the ratio is interpretable, not authoritative.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMG_S = 8.0  # estimated reference torch fp32 fwd on RTX 3080 Ti
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mde_tpu.core.config import load_config
+    from mde_tpu.models import build_model
+
+    opt = load_config({
+        "model": {
+            "name": "oda2_red_order_swin2", "encoder_type": "large",
+            "dec_dim": 512, "num_heads": 8, "num_repeats": 3, "num_emb": 128,
+            "window_size": 8, "neck_type": "red33",
+        },
+    })
+    model = build_model(opt, 0.001, 80.0, dtype=jnp.bfloat16,
+                        use_checkpoint=False)
+
+    batch = 4
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, 352, 704, 3),
+                    jnp.float32)
+
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0)}, x[:1], train=False))()
+
+    @jax.jit
+    def fwd(images):
+        pred, _, _ = model.apply(variables, images, train=False)
+        return pred
+
+    # warmup / compile
+    fwd(x).block_until_ready()
+    fwd(x).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    img_s = batch * iters / dt
+    print(json.dumps({
+        "metric": "flagship_fwd_images_per_sec",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 2),
+        "model": "oda2_red_order_swin2(swin-L, dec512, rep3, red33)",
+        "shape": [batch, 352, 704, 3],
+        "dtype": "bfloat16",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Batch loader: host decode workers + device-prefetch.
+
+Replaces the reference's torch ``DataLoader(num_workers=...)`` (config
+``dataloader`` block). Decode runs in a thread pool (PIL/zlib release the
+GIL); batches are stacked on host and (optionally) pushed through the fused
+device augmentation, double-buffered ahead of the consumer.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import itertools
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import jax
+
+from .dataset import DepthDataset
+from .augment import AugmentConfig, device_augment_batch, normalize_eval_batch
+
+
+class DataLoader:
+    def __init__(self,
+                 dataset: DepthDataset,
+                 batch_size: int,
+                 shuffle: bool = False,
+                 num_workers: int = 4,
+                 drop_last: bool = True,
+                 device_augment: bool = True,
+                 seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.device_augment = device_augment and dataset.mode == "train"
+        self.seed = seed
+        self.prefetch = prefetch
+
+        spec = dataset.spec
+        self.aug_cfg = AugmentConfig(
+            out_height=spec.height, out_width=spec.width,
+            degree=spec.degree if spec.do_random_rotate else 0.0,
+            data_type=spec.data_type,
+            clip_depth=dataset.clip_depth,
+            height_drop=tuple(dataset.height_drop),
+            width_drop=tuple(dataset.width_drop),
+            drop_edge=dataset.drop_edge,
+        )
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def _stack(self, samples) -> Dict[str, np.ndarray]:
+        if self.device_augment:
+            images = np.stack([s[0] for s in samples])
+            depths = np.stack([s[1] for s in samples])
+            focals = np.asarray([s[2] for s in samples], np.float32)
+        else:
+            images = np.stack([s["image"] for s in samples])
+            depths = np.stack([s["depth"] for s in samples])
+            focals = np.asarray([s["focal"] for s in samples], np.float32)
+        return {"image": images, "depth": depths, "focal": focals}
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, jax.Array]]:
+        """Yield device-ready batches for one epoch."""
+        indices = self._epoch_indices(epoch)
+        nb = len(self)
+        key = jax.random.PRNGKey(self.seed * 100003 + epoch)
+        load = self.dataset.load_raw if self.device_augment \
+            else self.dataset.__getitem__
+
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            # per-sample futures only — no nested pool work, no deadlock
+            pending = collections.deque()
+
+            def submit(b):
+                lo = b * self.batch_size
+                sel = indices[lo:lo + self.batch_size]
+                if len(sel) < self.batch_size and self.drop_last:
+                    return None
+                return [pool.submit(load, int(i)) for i in sel]
+
+            for b in range(min(self.prefetch, nb)):
+                futs = submit(b)
+                if futs:
+                    pending.append(futs)
+
+            next_b = min(self.prefetch, nb)
+            while pending:
+                futs = pending.popleft()
+                samples = [f.result() for f in futs]
+                if next_b < nb:
+                    nf = submit(next_b)
+                    if nf:
+                        pending.append(nf)
+                    next_b += 1
+
+                host = self._stack(samples)
+                images = jax.numpy.asarray(host["image"])
+                depths = jax.numpy.asarray(host["depth"])
+                if self.device_augment:
+                    key, sub = jax.random.split(key)
+                    images, depths = device_augment_batch(
+                        self.aug_cfg, sub, images, depths)
+                else:
+                    images = normalize_eval_batch(images)
+                yield {"image": images, "depth": depths, "focal": host["focal"]}
+
+    def __iter__(self):
+        return self.epoch(0)

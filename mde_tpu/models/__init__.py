@@ -1,0 +1,64 @@
+"""Model registry.
+
+``build_model(opt, min_depth, max_depth)`` maps the config's ``model.name``
+(reference name space, §5.6 of SURVEY.md) to a flax module. Families are
+registered as they are implemented; unknown names raise with the list of
+available ones.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def available_models():
+    return sorted(_REGISTRY)
+
+
+def build_model(opt, min_depth: float, max_depth: float, **overrides):
+    """opt is the full config; dispatch on opt['model']['name']."""
+    model_opt = opt["model"] if "model" in opt else opt
+    name = model_opt["name"]
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"Unknown model {name!r}. Available: {available_models()}")
+    return _REGISTRY[name](model_opt, min_depth, max_depth, **overrides)
+
+
+# --- registrations -----------------------------------------------------------
+
+from .oda2.red_order_swin2 import ODA2OrderedSwin2RegModel
+from .newcrfs.model import NewCRFDepth
+from .adabins.model import UnetAdaptiveBins
+
+
+@register("oda2_red_order_swin2")
+def _build_oda2_red_order_swin2(model_opt, min_depth, max_depth, **overrides):
+    return ODA2OrderedSwin2RegModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("newcrfs")
+def _build_newcrfs(model_opt, min_depth, max_depth, **overrides):
+    return NewCRFDepth.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("adabins")
+def _build_adabins(model_opt, min_depth, max_depth, **overrides):
+    return UnetAdaptiveBins.build(model_opt, min_depth, max_depth, **overrides)
+
+
+from .depthformer.model import Depthformer
+
+
+@register("depthformer")
+def _build_depthformer(model_opt, min_depth, max_depth, **overrides):
+    return Depthformer.build(model_opt, min_depth, max_depth, **overrides)

@@ -1,0 +1,116 @@
+"""Feed-forward blocks shared across model families (NHWC / token layouts)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .init import trunc_normal_init
+from .depthwise import DepthwiseConv2d
+
+
+def _dense(features: int, dtype, name: str, use_bias: bool = True):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=trunc_normal_init(0.02),
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+class SwinMLP(nn.Module):
+    """fc1 -> GELU -> drop -> fc2 -> drop (reference ``SwinMLP``,
+    ``oda2_swin_transformer.py:18-38``)."""
+
+    hidden_features: int
+    drop_prob: float = 0.0
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        x = _dense(self.hidden_features, self.dtype, "fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
+        x = _dense(in_features, self.dtype, "fc2")(x)
+        x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
+        return x
+
+
+class PreNormFF(nn.Module):
+    """Pre-norm residual FF (reference ``PreNormFF``,
+    ``oda2_red_order_reg_decoder.py:11-40``)."""
+
+    feedforward_dims: Optional[int] = None
+    drop_prob: float = 0.0
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_dims = x.shape[-1]
+        hidden = self.feedforward_dims or 4 * in_dims
+        identity = x
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = _dense(hidden, self.dtype, "lin1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
+        x = _dense(in_dims, self.dtype, "lin2")(x)
+        x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
+        return x + identity
+
+
+class PreNormDWConvFF(nn.Module):
+    """Pre-norm GLU + depthwise-conv feed-forward
+    (reference ``PreNormDWConvFF``, ``oda2_red_order_reg_decoder.py:43-93``).
+
+    Token MLP with a 5x5 depthwise conv (replicate pad) + BN + GELU between the
+    GLU gate and the down-projection. Operates on (B, H, W, C) so the
+    depthwise conv needs no layout shuffling on TPU.
+    """
+
+    feedforward_dims: Optional[int] = None
+    kernel_size: int = 5
+    drop_prob: float = 0.0
+    act: Callable = nn.gelu
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_dims = x.shape[-1]
+        hidden = self.feedforward_dims or 4 * in_dims
+        identity = x
+
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = _dense(hidden * 2, self.dtype, "lin1")(x)
+        # GLU over the channel dim: first half * sigmoid(second half)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * nn.sigmoid(b)
+
+        x = DepthwiseConv2d(
+            kernel_size=self.kernel_size, padding_mode="edge",
+            dtype=self.dtype, name="conv2",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.bn_momentum,
+            epsilon=self.bn_eps,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=self.axis_name,
+            name="bn2",
+        )(x)
+        x = self.act(x)
+
+        x = _dense(in_dims, self.dtype, "lin3")(x)
+        x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
+        return x + identity

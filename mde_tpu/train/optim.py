@@ -1,0 +1,91 @@
+"""Optimizer + LR schedule (reconstructed driver pieces).
+
+Every reference config uses AdamW with a "onecycle" schedule
+(``optimizer``/``scheduler`` blocks, SURVEY.md §5.6). torch's
+``OneCycleLR(anneal_strategy='cos')`` is exactly optax's
+``cosine_onecycle_schedule`` (warmup from ``peak/div_factor`` for
+``pct_start`` of steps, cosine anneal to ``peak/final_div_factor``... note
+torch's final lr is ``initial_lr/final_div_factor`` with
+``initial = peak/div_factor`` — optax matches this convention).
+
+``same_lr=False`` reproduces the AdaBins param-group convention (encoder at
+0.1x — reference ``unet_adaptive_bins.py:111-117`` exposes 1x/10x groups):
+parameters under the ``encoder`` subtree are scaled by 0.1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import optax
+
+
+def build_lr_schedule(opt, total_steps: int) -> optax.Schedule:
+    sched = opt.get("scheduler", {})
+    name = sched.get("name", "onecycle")
+    peak_lr = float(opt["optimizer"]["lr"])
+    if name == "onecycle":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1),
+            peak_value=peak_lr,
+            pct_start=float(sched.get("pct_start", 0.25)),
+            div_factor=float(sched.get("div_factor", 25)),
+            final_div_factor=float(sched.get("final_div_factor", 100)),
+        )
+    if name in ("constant", "none"):
+        return optax.constant_schedule(peak_lr)
+    raise ValueError(f"Unsupported scheduler {name}.")
+
+
+def _encoder_label_fn(params) -> Any:
+    """Label each leaf 'encoder' or 'rest' by its top-level module path."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "encoder" if any(
+                getattr(k, "key", None) == "encoder" for k in path) else "rest",
+            tree)
+
+    del flat
+    return label_tree(params)
+
+
+def build_optimizer(opt, total_steps: int,
+                    schedule: Optional[optax.Schedule] = None
+                    ) -> optax.GradientTransformation:
+    """AdamW + global-norm clip + (optional) 0.1x encoder lr.
+
+    Gradient clipping threshold comes from ``train.grad_norm`` (0.1 in nearly
+    every reference config); it is applied to the *accumulated* gradient
+    before the update, matching the reconstructed driver semantics
+    (SURVEY.md §3.1: clip_grad_norm_ every num_accum steps).
+    """
+    o = opt["optimizer"]
+    schedule = schedule or build_lr_schedule(opt, total_steps)
+    betas = o.get("betas", [0.9, 0.999])
+    adamw = optax.adamw(
+        learning_rate=schedule,
+        b1=float(betas[0]), b2=float(betas[1]),
+        eps=float(o.get("eps", 1e-6)),
+        weight_decay=float(o.get("weight_decay", 0.0)),
+    )
+
+    clip = float(opt.get("train", {}).get("grad_norm", 0.0) or 0.0)
+    chain = [optax.clip_by_global_norm(clip)] if clip > 0 else []
+
+    if not o.get("same_lr", True):
+        scaled = optax.chain(adamw, optax.scale(1.0))  # placeholder same tree
+        tx = optax.multi_transform(
+            {"encoder": optax.chain(adamw, optax.scale(0.1)),
+             "rest": scaled},
+            _encoder_label_fn,
+        )
+        # NOTE: scaling after adamw scales the *update*, which reproduces a
+        # 0.1x learning rate for adamw's scale-invariant update direction.
+        chain.append(tx)
+    else:
+        chain.append(adamw)
+
+    return optax.chain(*chain)

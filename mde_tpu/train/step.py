@@ -1,0 +1,163 @@
+"""Jitted train / eval steps with data-parallel sharding.
+
+Reconstruction of the reference's missing ``run.py`` hot loop (SURVEY.md §3.1)
+the TPU way: ONE jitted function per step containing forward, loss, backward,
+gradient accumulation (``lax.scan`` over microbatches — ``train.num_accum``),
+global-norm clipping and the optimizer update. Under a ``Mesh`` with the batch
+sharded over the ``data`` axis and params replicated, XLA inserts the gradient
+all-reduce over ICI automatically — the DDP/NCCL layer of the reference
+becomes zero lines of code here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .state import TrainState
+from .loss import DepthLoss
+
+
+# A model adapter normalizes each family's output contract:
+#   apply(variables, images, train, rngs, mutable) -> family-specific
+# into: (outputs_tuple, bin_centers | None)
+ModelAdapter = Callable[..., Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray]]]
+
+
+def default_adapter(model_out) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray]]:
+    """Handles the common contracts:
+    - (pred, outs_tuple, attn)  [ODA2 ordered heads]
+    - (pred, bin_edges)         [AdaBins-style]
+    - pred                      [plain regression]
+    """
+    if isinstance(model_out, tuple):
+        if len(model_out) == 3 and isinstance(model_out[1], (tuple, list)):
+            return tuple(model_out[1]), None
+        if len(model_out) == 2:
+            pred, second = model_out
+            if second is not None and getattr(second, "ndim", 0) == 2:
+                # (pred, bin_centers)
+                return (pred,), second
+            return (pred,), None
+        return (model_out[0],), None
+    return (model_out,), None
+
+
+def make_train_step(model, opt, min_depth: float, max_depth: float,
+                    tx: optax.GradientTransformation,
+                    adapter: ModelAdapter = default_adapter,
+                    num_accum: int = 1,
+                    freeze_bn: bool = False,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    The global batch (size B) is split into ``num_accum`` sequential
+    microbatches scanned inside the step; each microbatch is still sharded
+    over the data mesh axis. BN stats update on each microbatch (carried
+    through the scan) unless ``freeze_bn``.
+    """
+    depth_loss = DepthLoss(opt["loss"], min_depth, max_depth)
+
+    def loss_fn(params, batch_stats, images, depths, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, updates = model.apply(variables, images, train=True,
+                                   rngs={"dropout": rng},
+                                   mutable=["batch_stats"])
+        # freeze_bn: BN still normalizes with batch statistics but the
+        # running stats stay frozen (reference freeze_bn semantics,
+        # utils/common_utils.py:78-81)
+        new_stats = batch_stats if freeze_bn else updates["batch_stats"]
+        outs, centers = adapter(out)
+        loss, logs = depth_loss(outs, depths, bin_centers=centers)
+        return loss, (new_stats, logs)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        images, depths = batch["image"], batch["depth"]
+        b = images.shape[0]
+        assert b % num_accum == 0, (b, num_accum)
+        micro = b // num_accum
+
+        def micro_body(carry, xs):
+            batch_stats, grad_acc, loss_acc, logs_acc = carry
+            mi, md, mrng = xs
+            (loss, (batch_stats, logs)), grads = grad_fn(
+                state.params, batch_stats, mi, md, mrng)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            logs_acc = jax.tree_util.tree_map(jnp.add, logs_acc, logs)
+            return (batch_stats, grad_acc, loss_acc + loss, logs_acc), None
+
+        rngs = jax.random.split(rng, num_accum)
+        im_s = images.reshape(num_accum, micro, *images.shape[1:])
+        de_s = depths.reshape(num_accum, micro, *depths.shape[1:])
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        # one traced microstep to get the logs structure
+        zero_logs = {"loss": jnp.zeros(()), "loss_si": jnp.zeros(())}
+        if depth_loss.sog_weight > 0:
+            zero_logs["loss_sog"] = jnp.zeros(())
+        if depth_loss.chamfer_weight > 0:
+            zero_logs["loss_chamfer"] = jnp.zeros(())
+
+        (batch_stats, grads, loss_sum, logs_sum), _ = jax.lax.scan(
+            micro_body,
+            (state.batch_stats, zero_grads, jnp.zeros(()), zero_logs),
+            (im_s, de_s, rngs),
+        )
+
+        grads = jax.tree_util.tree_map(lambda g: g / num_accum, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        logs = jax.tree_util.tree_map(lambda x: x / num_accum, logs_sum)
+        logs["grad_norm"] = optax.global_norm(grads)
+        logs["param_norm"] = optax.global_norm(params)
+
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats, opt_state=opt_state)
+        return new_state, logs
+
+    return train_step
+
+
+def make_eval_step(model, opt, min_depth_eval: float, max_depth_eval: float,
+                   data_type: str = "KITTI", flip_eval: bool = False):
+    """Jitted eval step: forward (+ optional flip-averaging), resize to GT,
+    clamp, mask (validity x eval crop), on-device metrics
+    (reconstruction of SURVEY.md §3.2)."""
+    from ..core import metrics as M
+    from ..ops.resize import resize_bilinear
+    import numpy as np
+
+    opt_eval = opt["eval"]
+
+    @jax.jit
+    def eval_step(variables, batch):
+        images, depths = batch["image"], batch["depth"]
+        pred = model.apply(variables, images, train=False)
+        if isinstance(pred, tuple):
+            pred = pred[0]
+
+        if flip_eval:
+            pred_f = model.apply(variables, images[:, :, ::-1, :], train=False)
+            if isinstance(pred_f, tuple):
+                pred_f = pred_f[0]
+            pred = 0.5 * (pred + pred_f[:, :, ::-1, :])
+
+        gt_hw = depths.shape[1:3]
+        pred = resize_bilinear(pred, gt_hw, align_corners=True)
+        pred = jnp.clip(pred, min_depth_eval, max_depth_eval)
+
+        valid = (depths > min_depth_eval) & (depths < max_depth_eval)
+        crop = jnp.asarray(
+            M.eval_mask(opt_eval, (int(gt_hw[0]), int(gt_hw[1])), data_type))
+        mask = valid & crop[None, :, :, None]
+        return M.compute_errors_jax(depths, pred, mask)
+
+    return eval_step

@@ -1,0 +1,120 @@
+"""Checkpoint interop: torch Swin state-dict -> flax params, strict
+accounting, rel-pos interpolation, orbax round trip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mde_tpu.core.checkpoint import (
+    convert_swin_backbone, interpolate_rel_pos_bias, KeyAccountant,
+    tree_shapes_match, save_checkpoint, latest_checkpoint, restore_checkpoint,
+)
+from mde_tpu.models.swin import SwinTransformer
+
+
+def _fake_msft_swin_state(embed_dim=16, depths=(1, 1), num_heads=(1, 2),
+                          window=4, seed=0):
+    """Construct a state dict with Microsoft Swin naming/shapes."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    sd["patch_embed.proj.weight"] = rng.randn(embed_dim, 3, 4, 4).astype(np.float32)
+    sd["patch_embed.proj.bias"] = rng.randn(embed_dim).astype(np.float32)
+    sd["patch_embed.norm.weight"] = rng.randn(embed_dim).astype(np.float32)
+    sd["patch_embed.norm.bias"] = rng.randn(embed_dim).astype(np.float32)
+    for i, d in enumerate(depths):
+        c = embed_dim * 2 ** i
+        nh = num_heads[i]
+        for j in range(d):
+            p = f"layers.{i}.blocks.{j}"
+            sd[f"{p}.norm1.weight"] = rng.randn(c).astype(np.float32)
+            sd[f"{p}.norm1.bias"] = rng.randn(c).astype(np.float32)
+            sd[f"{p}.attn.relative_position_bias_table"] = \
+                rng.randn((2 * window - 1) ** 2, nh).astype(np.float32)
+            sd[f"{p}.attn.relative_position_index"] = \
+                np.zeros((window * window, window * window), np.int64)
+            sd[f"{p}.attn.qkv.weight"] = rng.randn(3 * c, c).astype(np.float32)
+            sd[f"{p}.attn.qkv.bias"] = rng.randn(3 * c).astype(np.float32)
+            sd[f"{p}.attn.proj.weight"] = rng.randn(c, c).astype(np.float32)
+            sd[f"{p}.attn.proj.bias"] = rng.randn(c).astype(np.float32)
+            sd[f"{p}.norm2.weight"] = rng.randn(c).astype(np.float32)
+            sd[f"{p}.norm2.bias"] = rng.randn(c).astype(np.float32)
+            sd[f"{p}.mlp.fc1.weight"] = rng.randn(4 * c, c).astype(np.float32)
+            sd[f"{p}.mlp.fc1.bias"] = rng.randn(4 * c).astype(np.float32)
+            sd[f"{p}.mlp.fc2.weight"] = rng.randn(c, 4 * c).astype(np.float32)
+            sd[f"{p}.mlp.fc2.bias"] = rng.randn(c).astype(np.float32)
+        if i < len(depths) - 1:
+            sd[f"layers.{i}.downsample.norm.weight"] = rng.randn(4 * c).astype(np.float32)
+            sd[f"layers.{i}.downsample.norm.bias"] = rng.randn(4 * c).astype(np.float32)
+            sd[f"layers.{i}.downsample.reduction.weight"] = \
+                rng.randn(2 * c, 4 * c).astype(np.float32)
+    # classifier bits that must be dropped
+    sd["norm.weight"] = rng.randn(1).astype(np.float32)
+    sd["norm.bias"] = rng.randn(1).astype(np.float32)
+    sd["head.weight"] = rng.randn(1).astype(np.float32)
+    sd["head.bias"] = rng.randn(1).astype(np.float32)
+    return sd
+
+
+def test_convert_matches_model_tree_and_runs():
+    depths, num_heads = (1, 1), (1, 2)
+    sd = _fake_msft_swin_state(depths=depths, num_heads=num_heads)
+    params = convert_swin_backbone(sd, depths=depths, out_indices=(0, 1))
+
+    model = SwinTransformer(embed_dim=16, depths=depths, num_heads=num_heads,
+                            window_size=4, out_indices=(0, 1))
+    x = jnp.ones((1, 16, 16, 3))
+    ref = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x))()
+    mism = tree_shapes_match(ref["params"], params)
+    assert mism == [], mism
+
+    # converted params actually run
+    outs = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(
+        jax.tree_util.tree_map(jnp.asarray, params), x)
+    assert outs[0].shape == (1, 4, 4, 16)
+
+
+def test_strict_accounting_flags_unused():
+    sd = _fake_msft_swin_state(depths=(1, 1), num_heads=(1, 2))
+    sd["layers.0.blocks.0.attn.extra_weight"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="Unconverted"):
+        convert_swin_backbone(sd, depths=(1, 1), out_indices=(0, 1))
+
+
+def test_missing_key_raises():
+    sd = _fake_msft_swin_state(depths=(1, 1), num_heads=(1, 2))
+    del sd["layers.0.blocks.0.attn.qkv.weight"]
+    with pytest.raises(KeyError):
+        convert_swin_backbone(sd, depths=(1, 1), out_indices=(0, 1))
+
+
+def test_rel_pos_interpolation():
+    table = np.random.RandomState(0).randn(13 * 13, 4).astype(np.float32)  # w=7
+    out = interpolate_rel_pos_bias(table, 12)  # -> 23x23
+    assert out.shape == (23 * 23, 4)
+    # identity when window matches
+    same = interpolate_rel_pos_bias(table, 7)
+    np.testing.assert_array_equal(same, table)
+
+
+def test_window_retarget_in_conversion():
+    sd = _fake_msft_swin_state(depths=(1, 1), num_heads=(1, 2), window=4)
+    params = convert_swin_backbone(sd, depths=(1, 1), out_indices=(0, 1),
+                                   target_window=8)
+    t = params["layers0"]["blocks0"]["attn"]["relative_position_bias_table"]
+    assert t.shape == (15 * 15, 1)
+
+
+def test_orbax_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    save_checkpoint(str(tmp_path), state, step=7, best_value=0.123)
+    path = latest_checkpoint(str(tmp_path))
+    assert path and path.endswith("step_7")
+    restored = restore_checkpoint(
+        path, {"state": jax.device_get(state),
+               "meta": {"step": 0, "best_value": 0.0}})
+    np.testing.assert_array_equal(
+        np.asarray(restored["state"]["params"]["w"]),
+        np.asarray(state["params"]["w"]))
+    assert restored["meta"]["best_value"] == pytest.approx(0.123)

@@ -1,0 +1,113 @@
+"""Smoke + semantics tests for the flagship ODA2 ordered-swin2 model (tiny
+dims — analog of the reference's __main__ shape asserts, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mde_tpu.models.oda2.red_order_swin2 import (
+    ODA2OrderedSwin2RegModel, _resize_policy,
+)
+from mde_tpu.ops.ordered_attention import depth_embedding_init
+
+TINY_ENC = dict(embed_dim=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+                window_size=4)
+
+
+def tiny_model(**over):
+    kwargs = dict(
+        dec_dim=32, min_depth=0.001, max_depth=80.0, num_heads=4,
+        num_repeats=2, num_emb=16, window_size=4, encoder_type="custom",
+        neck_type="red33", use_checkpoint=False, resize_to_multiple=False,
+        encoder_kwargs=TINY_ENC)
+    kwargs.update(over)
+    return ODA2OrderedSwin2RegModel(**kwargs)
+
+
+@pytest.fixture(scope="module")
+def tiny_forward():
+    m = tiny_model()
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 96, 3), jnp.float32)
+    vs = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x))()
+    out, outs, aw = jax.jit(lambda v, xx: m.apply(v, xx))(vs, x)
+    return m, x, vs, out, outs
+
+
+def test_output_shapes_and_range(tiny_forward):
+    m, x, vs, out, outs = tiny_forward
+    # output at 1/4 input scale with a single channel
+    assert out.shape == (2, 16, 24, 1)
+    # num_repeats + 1 supervised maps (reference head returns all)
+    assert len(outs) == m.num_repeats + 1
+    for o in outs:
+        assert o.shape == out.shape
+        assert float(o.min()) >= 0.0 and float(o.max()) <= m.max_depth
+
+
+def test_last_out_is_inference_output(tiny_forward):
+    _, _, _, out, outs = tiny_forward
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(outs[-1]))
+
+
+def test_resize_policy_reference_mappings():
+    # reference oda2_red_order_swin2.py:64-88
+    assert _resize_policy(352, 704, 80.0) == (448, 896)
+    assert _resize_policy(352, 1216, 80.0) == (448, 1536)
+    assert _resize_policy(480, 640, 10.0) == (448, 672)
+    assert _resize_policy(448, 608, 10.0) == (448, 672)
+
+
+def test_depth_embedding_linear_init():
+    """bias_init='linear': row r (centered) = -|r| * u_h, u_h in [0.01, 0.04]
+    (reference oda2_red_order_swin2_decoder.py:50-58)."""
+    n, nh = 16, 4
+    table = depth_embedding_init(n, nh, "linear")(jax.random.PRNGKey(0),
+                                                  (2 * n - 1, nh))
+    table = np.asarray(table)
+    # center row (rel diff = 0) is exactly zero
+    np.testing.assert_allclose(table[n - 1], 0.0)
+    # symmetric: bias(-d) == bias(+d), monotone decreasing with |d|, negative
+    np.testing.assert_allclose(table[0], table[-1], rtol=1e-6)
+    assert (table[0] < table[n - 2]).all()
+    assert (table[:n - 1] <= 0).all() and (table[n:] <= 0).all()
+    u = -table[-1] / (n - 1)
+    assert ((u >= 0.01) & (u <= 0.04)).all()
+
+
+def test_train_mode_runs_and_updates_batch_stats():
+    m = tiny_model()
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    vs = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x))()
+
+    @jax.jit
+    def step(v, xx):
+        (out, outs, _), updates = m.apply(
+            v, xx, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return out, updates
+
+    out, updates = step(vs, x)
+    assert "batch_stats" in updates
+    # running means actually moved away from init zeros somewhere
+    leaves = jax.tree.leaves(updates["batch_stats"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("neck", ["red", "fpn", "segformer", "red33r", "red33res"])
+def test_all_neck_types(neck):
+    m = tiny_model(neck_type=neck, num_repeats=1)
+    x = jnp.ones((1, 32, 32, 3))
+    vs = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x))()
+    out, outs, _ = jax.jit(lambda v, xx: m.apply(v, xx))(vs, x)
+    assert out.shape == (1, 8, 8, 1)
+
+
+@pytest.mark.heavy
+def test_output_scale_2():
+    m = tiny_model(output_scale=2, num_repeats=1)
+    x = jnp.ones((1, 32, 32, 3))
+    vs = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x))()
+    out, outs, _ = jax.jit(lambda v, xx: m.apply(v, xx))(vs, x)
+    assert out.shape == (1, 16, 16, 1)

@@ -1,0 +1,59 @@
+"""NewCRFs family tests (tiny dims)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mde_tpu.models.newcrfs.model import NewCRFDepth
+from mde_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
+
+TINY = dict(
+    version="custom04",
+    encoder_kwargs=dict(
+        embed_dim=8, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+        in_channels=(8, 16, 32, 64), crf_dims=(8, 16, 32, 64)),
+)
+
+
+def test_pixel_shuffle_matches_torch():
+    import torch
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 4, 16).astype(np.float32)  # NHWC
+    got = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    want = torch.pixel_shuffle(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # unshuffle inverts
+    back = np.asarray(pixel_unshuffle(jnp.asarray(got), 2))
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.fixture(scope="module")
+def tiny_newcrfs():
+    m = NewCRFDepth(min_depth=0.001, max_depth=10.0, **TINY)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 96, 3), jnp.float32)
+    vs = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x))()
+    out = jax.jit(lambda v, xx: m.apply(v, xx))(vs, x)
+    return m, x, vs, out
+
+
+def test_output_full_resolution_and_range(tiny_newcrfs):
+    m, x, vs, out = tiny_newcrfs
+    # DispHead upsamples x4 from 1/4 scale -> full input resolution
+    assert out.shape == (1, 64, 96, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= m.max_depth
+
+
+def test_train_mode_updates_bn(tiny_newcrfs):
+    m, x, vs, _ = tiny_newcrfs
+    out, updates = jax.jit(
+        lambda v, xx: m.apply(v, xx, train=True, mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.PRNGKey(1)}))(vs, x)
+    assert "batch_stats" in updates
+
+
+def test_version_table():
+    # reference NewCRFDepth.py:28-42 version parsing
+    m = NewCRFDepth(version="large07")
+    assert int(m.version[-2:]) == 7

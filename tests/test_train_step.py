@@ -1,0 +1,139 @@
+"""End-to-end train/eval step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mde_tpu.core.config import load_config
+from mde_tpu.models import build_model
+from mde_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from mde_tpu.train.optim import build_optimizer, build_lr_schedule
+from mde_tpu.train.state import TrainState
+from mde_tpu.train.step import make_train_step, make_eval_step
+
+TINY_OPT = {
+    "model": {
+        "name": "oda2_red_order_swin2", "encoder_type": "custom",
+        "dec_dim": 32, "num_heads": 4, "num_repeats": 2, "num_emb": 16,
+        "window_size": 4, "neck_type": "red33",
+    },
+    "loss": {"alpha": 10.0, "beta": 0.15, "per_image": True, "si_weight": 1.0},
+    "optimizer": {"lr": 1e-4, "betas": [0.9, 0.999], "weight_decay": 0.1,
+                  "eps": 1e-6, "same_lr": True},
+    "scheduler": {"name": "onecycle", "pct_start": 0.25, "div_factor": 25,
+                  "final_div_factor": 100},
+    "train": {"num_accum": 2, "grad_norm": 0.1},
+    "eval": {"garg_crop": True, "eigen_crop": False, "flip_eval": False,
+             "min_depth_eval": 0.001, "max_depth_eval": 80.0},
+}
+
+TINY_ENC = dict(embed_dim=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+                window_size=4)
+
+
+def _build_tiny():
+    opt = load_config(TINY_OPT)
+    model = build_model(opt, 0.001, 80.0,
+                        use_checkpoint=False, resize_to_multiple=False,
+                        encoder_kwargs=TINY_ENC)
+    return opt, model
+
+
+def _fake_batch(b, h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "depth": jnp.asarray(rng.uniform(0.5, 60.0, (b, h, w, 1)), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    opt, model = _build_tiny()
+    batch = _fake_batch(8, 32, 32)
+    vs = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)},
+                                    batch["image"][:1]))()
+    tx = build_optimizer(opt, total_steps=10)
+    state = TrainState.create(vs["params"], vs.get("batch_stats", {}), tx)
+    return opt, model, batch, tx, state
+
+
+def test_train_step_runs_and_decreases_nothing_nan(tiny_setup):
+    opt, model, batch, tx, state = tiny_setup
+    step = make_train_step(model, opt, 0.001, 80.0, tx,
+                           num_accum=opt.train.num_accum, donate=False)
+    state2, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["grad_norm"]))
+    # params actually changed
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    # loss goes down over a few steps on a fixed batch
+    s, first = state2, float(logs["loss"])
+    for i in range(4):
+        s, logs = step(s, batch, jax.random.PRNGKey(2 + i))
+    assert float(logs["loss"]) < first
+
+
+@pytest.mark.heavy
+def test_grad_accum_matches_single_batch(tiny_setup):
+    """num_accum=2 over batch B must equal num_accum=1 over the same batch
+    (up to BN-stat ordering differences; we freeze BN to compare exactly)."""
+    opt, model, batch, tx, state = tiny_setup
+    step1 = make_train_step(model, opt, 0.001, 80.0, tx, num_accum=1,
+                            freeze_bn=True, donate=False)
+    step2 = make_train_step(model, opt, 0.001, 80.0, tx, num_accum=2,
+                            freeze_bn=True, donate=False)
+    rng = jax.random.PRNGKey(3)
+    sa, la = step1(state, batch, rng)
+    sb, lb = step2(state, batch, rng)
+    # different microbatch statistics => not bitwise equal, but the gradient
+    # direction must be consistent: compare updated params loosely
+    da = jnp.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(sa.params)])
+    db = jnp.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(sb.params)])
+    cos = float(jnp.dot(da, db) / (jnp.linalg.norm(da) * jnp.linalg.norm(db)))
+    assert cos > 0.99
+
+
+def test_train_step_sharded_over_mesh(tiny_setup):
+    """The same train step must run with the batch sharded over 8 devices."""
+    opt, model, batch, tx, state = tiny_setup
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    step = make_train_step(model, opt, 0.001, 80.0, tx,
+                           num_accum=2, donate=False)
+    sharded_batch = shard_batch(mesh, batch)
+    sharded_state = replicate(mesh, state)
+    with mesh:
+        state2, logs = step(sharded_state, sharded_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))
+    # result equals the unsharded run (global-array semantics)
+    state_ref, logs_ref = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(logs["loss"]), float(logs_ref["loss"]),
+                               rtol=1e-4)
+
+
+def test_eval_step(tiny_setup):
+    opt, model, batch, tx, state = tiny_setup
+    ev = make_eval_step(model, opt, 0.001, 80.0, data_type="KITTI")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    m = ev(variables, batch)
+    for k in ("a1", "abs_rel", "rmse", "silog"):
+        assert np.isfinite(float(m[k])), k
+    assert 0.0 <= float(m["a1"]) <= 1.0
+
+
+def test_lr_schedule_onecycle_shape():
+    opt = load_config(TINY_OPT)
+    sched = build_lr_schedule(opt, total_steps=100)
+    lr0 = float(sched(0))
+    lr_peak = float(sched(25))
+    lr_end = float(sched(100))
+    assert lr0 == pytest.approx(1e-4 / 25, rel=1e-3)
+    assert lr_peak == pytest.approx(1e-4, rel=1e-2)
+    assert lr_end == pytest.approx(1e-4 / 25 / 100, rel=0.1)
+    assert lr_peak > lr0 > lr_end
