@@ -32,7 +32,8 @@ def test_tf_same_pad_matches_torch_tf_padding():
     """TF SAME: extra pad right/bottom; output = ceil(in/stride)."""
     x = jnp.ones((1, 7, 7, 1))
     y = tf_same_pad(x, 3, 2)
-    assert y.shape == (1, 8, 8, 1)  # pad (0,1),(0,1) for k=3,s=2 on 7
+    # out=ceil(7/2)=4 -> total pad (4-1)*2+3-7=2 -> (1,1) each side
+    assert y.shape == (1, 9, 9, 1)
     x2 = jnp.ones((1, 8, 8, 1))
     y2 = tf_same_pad(x2, 3, 2)
     assert y2.shape == (1, 9, 9, 1)
