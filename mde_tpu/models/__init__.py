@@ -62,3 +62,37 @@ from .depthformer.model import Depthformer
 @register("depthformer")
 def _build_depthformer(model_opt, min_depth, max_depth, **overrides):
     return Depthformer.build(model_opt, min_depth, max_depth, **overrides)
+
+
+from .depthformer.luna_versions import DepthformerLuna
+
+for _v in (6, 7, 8):
+    def _make(version):
+        def _build(model_opt, min_depth, max_depth, **overrides):
+            return DepthformerLuna.build(version, model_opt, min_depth,
+                                         max_depth, **overrides)
+        return _build
+    register(f"depthformer_v{_v}")(_make(_v))
+
+
+from .oda.models import ODAConvModel, ODALunaModel, ODALunaClsModel, ODABinsModel
+
+
+@register("oda_conv")
+def _build_oda_conv(model_opt, min_depth, max_depth, **overrides):
+    return ODAConvModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("oda_luna")
+def _build_oda_luna(model_opt, min_depth, max_depth, **overrides):
+    return ODALunaModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("oda_luna_cls")
+def _build_oda_luna_cls(model_opt, min_depth, max_depth, **overrides):
+    return ODALunaClsModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("oda_bins")
+def _build_oda_bins(model_opt, min_depth, max_depth, **overrides):
+    return ODABinsModel.build(model_opt, min_depth, max_depth, **overrides)

@@ -254,6 +254,7 @@ class SwinTransformer(nn.Module):
     frozen_stages: int = -1
     use_checkpoint: bool = False
     scan_blocks: bool = True
+    out_norms: bool = True  # per-stage output LayerNorms (ODA encoder: off)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -297,8 +298,10 @@ class SwinTransformer(nn.Module):
                 x = jax.lax.stop_gradient(x)
                 x_out = jax.lax.stop_gradient(x_out)
             if i in self.out_indices:
-                x_out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
-                                     name=f"norm{i}")(x_out)
+                if self.out_norms:
+                    x_out = nn.LayerNorm(dtype=self.dtype,
+                                         param_dtype=jnp.float32,
+                                         name=f"norm{i}")(x_out)
                 outs.append(x_out)
         return tuple(outs)
 
