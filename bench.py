@@ -2,10 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures images/sec of the flagship ``oda2_red_order_swin2`` (Swin-L encoder,
-dec_dim 512, num_repeats 3, neck red33 — the reference's best KITTI config,
+Measures images/sec of the flagship ``oda2_red_order_swin2`` (dec_dim 512,
+num_repeats 3, neck red33 — the reference's best KITTI config,
 ``json/kitti/oda2/oda2_red_order_swin2_neck_red33.json``) at KITTI train shape
 352x704 (internally resized to 448x896), bf16 activations, inference forward.
+Encoder defaults to Swin-B (set MDE_BENCH_ENCODER=large for the Swin-L
+variant; its first uncached compile over the axon tunnel takes ~1 h).
 
 Baseline: the reference publishes no numbers (BASELINE.md). ``vs_baseline``
 is computed against an *estimated* 8 img/s for the same model in torch fp32 on
@@ -23,14 +25,22 @@ BASELINE_IMG_S = 8.0  # estimated reference torch fp32 fwd on RTX 3080 Ti
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: the first-ever Swin-L compile over the axon
+    # tunnel costs minutes; warmed-cache runs take seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from mde_tpu.core.config import load_config
     from mde_tpu.models import build_model
 
+    encoder_type = os.environ.get("MDE_BENCH_ENCODER", "base")
     opt = load_config({
         "model": {
-            "name": "oda2_red_order_swin2", "encoder_type": "large",
+            "name": "oda2_red_order_swin2", "encoder_type": encoder_type,
             "dec_dim": 512, "num_heads": 8, "num_repeats": 3, "num_emb": 128,
             "window_size": 8, "neck_type": "red33",
         },
@@ -67,7 +77,7 @@ def main():
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 2),
-        "model": "oda2_red_order_swin2(swin-L, dec512, rep3, red33)",
+        "model": f"oda2_red_order_swin2(swin-{encoder_type[0].upper()}, dec512, rep3, red33)",
         "shape": [batch, 352, 704, 3],
         "dtype": "bfloat16",
         "device": str(jax.devices()[0]),

@@ -96,3 +96,73 @@ def _build_oda_luna_cls(model_opt, min_depth, max_depth, **overrides):
 @register("oda_bins")
 def _build_oda_bins(model_opt, min_depth, max_depth, **overrides):
     return ODABinsModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+from .oda2.red_order_reg import ODA2OrderedRegModel
+from .oda2.conv import ODA2ConvModel
+
+
+@register("oda2_red_order_reg")
+def _build_oda2_red_order_reg(model_opt, min_depth, max_depth, **overrides):
+    return ODA2OrderedRegModel.build(model_opt, min_depth, max_depth,
+                                     cls_head=False, **overrides)
+
+
+@register("oda2_red_order_cls")
+def _build_oda2_red_order_cls(model_opt, min_depth, max_depth, **overrides):
+    return ODA2OrderedRegModel.build(model_opt, min_depth, max_depth,
+                                     cls_head=True, **overrides)
+
+
+@register("oda2_conv")
+def _build_oda2_conv(model_opt, min_depth, max_depth, **overrides):
+    return ODA2ConvModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+from .oda.lion import ODALionModel
+from .oda.lime import ODALimeModel
+from .oda.jeju import ODAJejuModel
+
+
+@register("oda_lion")
+def _build_oda_lion(model_opt, min_depth, max_depth, **overrides):
+    return ODALionModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("oda_lime")
+def _build_oda_lime(model_opt, min_depth, max_depth, **overrides):
+    return ODALimeModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("oda_jeju")
+def _build_oda_jeju(model_opt, min_depth, max_depth, **overrides):
+    return ODAJejuModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+from .oda2.red_order_swin import ODA2OrderedSwinModel
+from .oda2.red_reg import ODA2RedRegModel
+
+
+@register("oda2_red_order_swin")
+def _build_oda2_red_order_swin(model_opt, min_depth, max_depth, **overrides):
+    return ODA2OrderedSwinModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("oda2_red_reg")
+def _build_oda2_red_reg(model_opt, min_depth, max_depth, **overrides):
+    return ODA2RedRegModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+from .oda2.luna import ODA2LunaModel
+
+
+@register("oda2_luna_reg")
+def _build_oda2_luna_reg(model_opt, min_depth, max_depth, **overrides):
+    return ODA2LunaModel.build(model_opt, min_depth, max_depth,
+                               cls_head=False, **overrides)
+
+
+@register("oda2_luna_cls")
+def _build_oda2_luna_cls(model_opt, min_depth, max_depth, **overrides):
+    return ODA2LunaModel.build(model_opt, min_depth, max_depth,
+                               cls_head=True, **overrides)

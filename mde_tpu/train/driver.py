@@ -1,0 +1,249 @@
+"""Training driver — the reconstruction of the reference's missing run.py.
+
+The reference snapshot records ``"program": "run.py"`` in its wandb metadata
+but does not contain the file (SURVEY.md §0). This driver rebuilds it from the
+utils API it consumed, the config schema, and the saved run artifacts:
+
+    parse --opt JSON -> mesh setup -> DepthDataset loaders -> Model.build ->
+    AdamW + OneCycle -> jitted sharded train step (grad accum + clip) ->
+    print_freq logging -> valid_freq eval (crop masks, 9 metrics) ->
+    best-checkpoint tracking -> resume.
+
+TPU-native: no process spawning/DDP — one controller, batch sharded over the
+``data`` mesh axis, XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Config, parse
+from ..core.averages import RunningAverage, RunningAverageDict, Timer, time_log
+from ..core.dist import dprint
+from ..core import checkpoint as ckpt
+from ..data.dataset import DepthDataset
+from ..data.loader import DataLoader
+from ..data.splits import dataset_spec
+from ..models import build_model
+from ..parallel.mesh import make_mesh, shard_batch, replicate
+from .optim import build_optimizer, build_lr_schedule
+from .state import TrainState
+from .step import make_train_step, make_eval_step
+from ..utils.wandb_utils import set_wandb
+
+
+def build_all(opt: Config, dtype=jnp.float32, model_overrides=None):
+    """Construct datasets, model, optimizer and steps from a config."""
+    ds_opt = opt["dataset"]
+    spec = dataset_spec(ds_opt["data_type"], "train",
+                        ds_opt.get("img_size") or None)
+    min_depth, max_depth = spec.min_depth, spec.max_depth
+
+    train_ds = DepthDataset(
+        ds_opt.get("data_path", ""), ds_opt["data_type"], "train",
+        img_size=tuple(ds_opt["img_size"]) if ds_opt.get("img_size") else None,
+        height_drop=tuple(ds_opt.get("height_drop", (0.0, 0))),
+        width_drop=tuple(ds_opt.get("width_drop", (0.0, 0))),
+        clip_depth=ds_opt.get("clip_depth") or None,
+        drop_edge=ds_opt.get("drop_edge", False))
+    test_ds = DepthDataset(ds_opt.get("data_path", ""), ds_opt["data_type"],
+                           "test")
+
+    dl_opt = opt.get("dataloader", {})
+    batch_size = int(dl_opt.get("batch_size", 8))
+    train_loader = DataLoader(train_ds, batch_size, shuffle=True,
+                              num_workers=int(dl_opt.get("num_workers", 4)),
+                              device_augment=True)
+    test_loader = DataLoader(test_ds, batch_size=1, shuffle=False,
+                             num_workers=2, drop_last=False,
+                             device_augment=False)
+
+    model = build_model(opt, min_depth, max_depth, dtype=dtype,
+                        **(model_overrides or {}))
+
+    steps_per_epoch = max(len(train_loader), 1)
+    num_accum = int(opt["train"].get("num_accum", 1))
+    total_steps = (int(opt["train"]["epoch"]) * steps_per_epoch)
+    tx = build_optimizer(opt, total_steps)
+    return (train_loader, test_loader, model, tx, min_depth, max_depth,
+            total_steps)
+
+
+class Trainer:
+    def __init__(self, opt: Config, dtype=jnp.float32, model_overrides=None,
+                 use_mesh: bool = True):
+        self.opt = opt
+        (self.train_loader, self.test_loader, self.model, self.tx,
+         self.min_depth, self.max_depth, self.total_steps) = build_all(
+            opt, dtype=dtype, model_overrides=model_overrides)
+
+        if use_mesh:
+            import math as _math
+            n_dev = len(jax.devices())
+            # the per-microbatch size must split evenly over the data axis
+            micro = max(1, self.train_loader.batch_size
+                        // int(opt["train"].get("num_accum", 1)))
+            n_data = _math.gcd(micro, n_dev)
+            self.mesh = make_mesh(n_data=n_data,
+                                  devices=jax.devices()[:n_data])
+        else:
+            self.mesh = None
+        self.num_accum = int(opt["train"].get("num_accum", 1))
+        self.run, self.run_dir = set_wandb(opt)
+
+        t = opt["train"]
+        self.print_freq = int(t.get("print_freq", 25))
+        self.valid_freq = int(t.get("valid_freq", 250))
+        self.epochs = int(t.get("epoch", 24))
+        self.freeze_encoder_bn = bool(t.get("freeze_encoder_bn", False))
+        self.freeze_all_bn_epoch = int(t.get("freeze_all_bn", -1))
+
+        ev = opt["eval"]
+        self.eval_step = make_eval_step(
+            self.model, opt, float(ev.get("min_depth_eval", 1e-3)),
+            float(ev.get("max_depth_eval", self.max_depth)),
+            data_type=opt["dataset"]["data_type"],
+            flip_eval=bool(ev.get("flip_eval", False)))
+
+        # two step flavours: BN live / BN frozen (freeze_all_bn epoch switch)
+        self._steps = {}
+        self.best_value: Optional[float] = None
+        self.state: Optional[TrainState] = None
+        self.global_step = 0
+
+    def _get_step(self, freeze_bn: bool):
+        if freeze_bn not in self._steps:
+            self._steps[freeze_bn] = make_train_step(
+                self.model, self.opt, self.min_depth, self.max_depth, self.tx,
+                num_accum=self.num_accum, freeze_bn=freeze_bn, donate=False)
+        return self._steps[freeze_bn]
+
+    def init_state(self, rng=None, sample_batch=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if sample_batch is None:
+            sample_batch = next(iter(self.train_loader))
+        variables = jax.jit(
+            lambda: self.model.init({"params": rng},
+                                    sample_batch["image"][:1], train=False))()
+        self.state = TrainState.create(
+            variables["params"], variables.get("batch_stats", {}), self.tx)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+
+        # resume (reference: config ``checkpoint`` key)
+        resume = self.opt.get("checkpoint", "")
+        if resume:
+            path = resume if os.path.isdir(resume) else None
+            path = path or ckpt.latest_checkpoint(resume)
+            if path:
+                payload = ckpt.restore_checkpoint(
+                    path, {"state": jax.device_get(self.state),
+                           "meta": {"step": 0, "best_value": 0.0}})
+                self.state = jax.tree_util.tree_map(
+                    jnp.asarray, payload["state"])
+                self.best_value = payload["meta"].get("best_value") or None
+                self.global_step = int(payload["meta"].get("step", 0))
+                dprint(f"Resumed from {path} at step {self.global_step}")
+        return self.state
+
+    def validate(self) -> dict:
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        averages = RunningAverageDict()
+        for batch in self.test_loader.epoch(0):
+            m = self.eval_step(variables, batch)
+            count = float(m.pop("count"))
+            if count > 0:
+                averages.update({k: float(v) for k, v in m.items()})
+        return averages.get_value()
+
+    def fit(self, max_steps: Optional[int] = None) -> dict:
+        """Full training loop. Returns final validation metrics."""
+        if self.state is None:
+            self.init_state()
+
+        loss_avg = RunningAverage()
+        timer = Timer()
+        rng = jax.random.PRNGKey(1234)
+        metrics = {}
+
+        ckpt_dir = os.path.join(self.opt.get("output_dir", "./output"),
+                                "checkpoints")
+
+        for epoch in range(self.epochs):
+            freeze_bn = (self.freeze_all_bn_epoch >= 0
+                         and epoch >= self.freeze_all_bn_epoch)
+            step_fn = self._get_step(freeze_bn)
+
+            for batch in self.train_loader.epoch(epoch):
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                rng, sub = jax.random.split(rng)
+                self.state, logs = step_fn(self.state, batch, sub)
+                self.global_step += 1
+                loss_avg.append(float(logs["loss"]))
+
+                if self.global_step % self.print_freq == 0:
+                    dprint(f"{time_log()}\n"
+                           f"epoch {epoch} step {self.global_step} "
+                           f"loss {loss_avg.get_value():.4f} "
+                           f"grad_norm {float(logs['grad_norm']):.4f} "
+                           f"({timer.elapsed_ms() / self.print_freq:.0f} ms/step)")
+                    self.run.log({"train/loss": loss_avg.get_value(),
+                                  "train/grad_norm": float(logs["grad_norm"]),
+                                  "step": self.global_step})
+                    loss_avg.reset()
+                    timer.reset()
+
+                if self.global_step % self.valid_freq == 0:
+                    metrics = self.validate()
+                    dprint(f"[valid @ {self.global_step}] {metrics}")
+                    self.run.log({f"valid/{k}": v for k, v in metrics.items()})
+                    value = metrics.get("abs_rel")
+                    if value is not None and (self.best_value is None
+                                              or value < self.best_value):
+                        self.best_value = value
+                        try:
+                            ckpt.save_checkpoint(ckpt_dir, self.state,
+                                                 self.global_step,
+                                                 best_value=value)
+                            dprint(f"saved best checkpoint (abs_rel={value:.4f})")
+                        except Exception as e:
+                            dprint(f"[checkpoint save failed: {e}]")
+
+                if max_steps is not None and self.global_step >= max_steps:
+                    return metrics or self.validate()
+
+        return metrics or self.validate()
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(description="mde_tpu training driver "
+                                "(reconstructed reference run.py)")
+    p.add_argument("--opt", required=True, help="path to experiment JSON")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations (f32 params)")
+    p.add_argument("--eval-only", action="store_true")
+    args = p.parse_args(argv)
+
+    opt = parse(args.opt)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    trainer = Trainer(opt, dtype=dtype)
+    trainer.init_state()
+    if args.eval_only:
+        metrics = trainer.validate()
+        dprint(f"[eval] {metrics}")
+        return metrics
+    return trainer.fit(max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

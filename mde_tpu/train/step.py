@@ -35,14 +35,15 @@ def default_adapter(model_out) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.nd
     - pred                      [plain regression]
     """
     if isinstance(model_out, tuple):
-        if len(model_out) == 3 and isinstance(model_out[1], (tuple, list)):
+        if len(model_out) >= 2 and isinstance(model_out[1], (tuple, list)) \
+                and len(model_out[1]) > 0 \
+                and getattr(model_out[1][0], "ndim", 0) == 4:
+            # (pred, outs_tuple, attn) [ODA2 ordered heads]
             return tuple(model_out[1]), None
-        if len(model_out) == 2:
-            pred, second = model_out
-            if second is not None and getattr(second, "ndim", 0) == 2:
-                # (pred, bin_centers)
-                return (pred,), second
-            return (pred,), None
+        second = model_out[1] if len(model_out) >= 2 else None
+        if second is not None and getattr(second, "ndim", 0) == 2:
+            # (pred, bin_edges/centers[, attn]) [AdaBins, Depthformer v7/v8]
+            return (model_out[0],), second
         return (model_out[0],), None
     return (model_out,), None
 

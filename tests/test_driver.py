@@ -1,0 +1,78 @@
+"""End-to-end driver test: a few training steps + validation on synthetic
+data through the full reconstructed run.py pipeline (tiny model)."""
+
+import json
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mde_tpu.core.config import load_config
+from mde_tpu.train.driver import Trainer
+
+TINY_OPT = {
+    "output_dir": None,  # filled by test
+    "checkpoint": "",
+    "wandb": {"mode": "disabled"},
+    "model": {
+        "name": "oda2_red_order_swin2", "encoder_type": "custom",
+        "dec_dim": 32, "num_heads": 4, "num_repeats": 1, "num_emb": 16,
+        "window_size": 4, "neck_type": "red33",
+    },
+    "loss": {"alpha": 10.0, "beta": 0.15, "per_image": True},
+    "dataset": {"data_type": "NYU", "data_path": "/nonexistent",
+                "img_size": [64, 64]},
+    "dataloader": {"batch_size": 4, "num_workers": 2},
+    "optimizer": {"lr": 1e-4, "weight_decay": 0.01},
+    "scheduler": {"name": "onecycle", "pct_start": 0.25, "div_factor": 25,
+                  "final_div_factor": 100},
+    "train": {"print_freq": 2, "valid_freq": 4, "epoch": 1, "num_accum": 2,
+              "grad_norm": 0.1},
+    "eval": {"max_depth_eval": 10.0, "min_depth_eval": 0.001,
+             "garg_crop": False, "eigen_crop": True, "flip_eval": False},
+}
+
+TINY_ENC = dict(embed_dim=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+                window_size=4)
+
+
+@pytest.mark.heavy
+def test_trainer_end_to_end(tmp_path):
+    opt = load_config(dict(TINY_OPT, output_dir=str(tmp_path)))
+    # synthetic NYU with tiny img_size; avoid 224-multiple resize
+    trainer = Trainer(opt, model_overrides=dict(
+        use_checkpoint=False, resize_to_multiple=False,
+        encoder_kwargs=TINY_ENC))
+    trainer.init_state()
+    metrics = trainer.fit(max_steps=5)
+    assert trainer.global_step == 5
+    for k in ("abs_rel", "rmse", "a1", "silog"):
+        assert k in metrics and np.isfinite(metrics[k]), (k, metrics)
+    # eval metrics are plausible (synthetic data, untrained net: poor but
+    # well-defined values)
+    assert 0.0 <= metrics["a1"] <= 1.0
+
+
+@pytest.mark.heavy
+def test_driver_main_eval_only(tmp_path):
+    cfg = dict(TINY_OPT, output_dir=str(tmp_path))
+    path = tmp_path / "opt.json"
+    path.write_text(json.dumps(cfg))
+    # main() exercises config parse + Trainer wiring; eval-only to stay fast
+    from mde_tpu.train import driver as drv
+    import mde_tpu.models as M
+
+    orig = M.build_model
+
+    def patched(opt, mn, mx, **over):
+        over.update(dict(use_checkpoint=False, resize_to_multiple=False,
+                         encoder_kwargs=TINY_ENC))
+        return orig(opt, mn, mx, **over)
+
+    M.build_model, drv.build_model = patched, patched
+    try:
+        metrics = drv.main(["--opt", str(path), "--eval-only"])
+    finally:
+        M.build_model = orig
+        drv.build_model = orig
+    assert np.isfinite(metrics["abs_rel"])
