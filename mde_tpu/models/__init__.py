@@ -64,6 +64,29 @@ def _build_depthformer(model_opt, min_depth, max_depth, **overrides):
     return Depthformer.build(model_opt, min_depth, max_depth, **overrides)
 
 
+from .depthformer.versions import DepthformerV2, DepthformerV3, DepthformerV4
+
+
+@register("depthformer_v2")
+def _build_depthformer_v2(model_opt, min_depth, max_depth, **overrides):
+    return DepthformerV2.build(2, model_opt, min_depth, max_depth, **overrides)
+
+
+@register("depthformer_v3")
+def _build_depthformer_v3(model_opt, min_depth, max_depth, **overrides):
+    return DepthformerV3.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("depthformer_v4")
+def _build_depthformer_v4(model_opt, min_depth, max_depth, **overrides):
+    return DepthformerV4.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("depthformer_v5")
+def _build_depthformer_v5(model_opt, min_depth, max_depth, **overrides):
+    return DepthformerV2.build(5, model_opt, min_depth, max_depth, **overrides)
+
+
 from .depthformer.luna_versions import DepthformerLuna
 
 for _v in (6, 7, 8):
@@ -154,6 +177,18 @@ def _build_oda2_red_reg(model_opt, min_depth, max_depth, **overrides):
 
 
 from .oda2.luna import ODA2LunaModel
+from .oda2.red_luna import ODA2RedLunaRegModel
+from .oda2.ksa import ODA2KSARegModel
+
+
+@register("oda2_red_luna_reg")
+def _build_oda2_red_luna_reg(model_opt, min_depth, max_depth, **overrides):
+    return ODA2RedLunaRegModel.build(model_opt, min_depth, max_depth, **overrides)
+
+
+@register("oda2_ksa_reg")
+def _build_oda2_ksa_reg(model_opt, min_depth, max_depth, **overrides):
+    return ODA2KSARegModel.build(model_opt, min_depth, max_depth, **overrides)
 
 
 @register("oda2_luna_reg")
