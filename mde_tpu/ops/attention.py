@@ -41,6 +41,11 @@ class WindowAttention(nn.Module):
     Input: (B_windows, N, C) where N = win_h * win_w.
     ``mask``: optional (num_windows, N, N) additive mask (0 / -100) for
     shifted windows; B_windows must be a multiple of num_windows.
+
+    ``attn_impl``: 'auto' routes through the fused Pallas kernel on TPU
+    (softmax/bias/mask fused in VMEM, no (BW, heads, N, N) HBM tensor) and
+    the XLA einsum path elsewhere; attention dropout (train-time, prob>0)
+    forces the XLA path since the kernel is deterministic.
     """
 
     num_heads: int
@@ -49,10 +54,13 @@ class WindowAttention(nn.Module):
     attn_drop_prob: float = 0.0
     drop_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
+        from .pallas import resolve_impl, fused_window_attention
+
         bw, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -64,10 +72,6 @@ class WindowAttention(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=trunc_normal_init(0.02), name="qkv",
         )(x)
-        qkv = qkv.reshape(bw, n, 3, nh, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (bw, n, nh, hd)
-
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)  # (bw, nh, n, n)
 
         # relative position bias: trace-time constant gather from the table
         rpi = relative_position_index(self.window_size, self.window_size)
@@ -77,20 +81,36 @@ class WindowAttention(nn.Module):
             ((2 * self.window_size - 1) ** 2, nh),
         )
         bias = table[rpi.reshape(-1)].reshape(n, n, nh)
-        bias = bias.transpose(2, 0, 1).astype(attn.dtype)  # (nh, n, n)
-        attn = attn + bias[None]
+        bias = bias.transpose(2, 0, 1)  # (nh, n, n) f32
 
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask, dtype=attn.dtype)  # (nw, n, n)
-            attn = attn.reshape(bw // nw, nw, nh, n, n) + m[None, :, None]
-            attn = attn.reshape(bw, nh, n, n)
+        impl = resolve_impl(self.attn_impl)
+        use_fused = impl != "xla" and not (train and self.attn_drop_prob > 0)
 
-        attn = jnp.asarray(attn, jnp.float32)
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(attn)
+        if use_fused:
+            qkv = qkv.reshape(bw, n, 3, c)
+            out = fused_window_attention(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias,
+                None if mask is None else jnp.asarray(mask, jnp.float32),
+                nh, scale, impl=impl)
+        else:
+            qkv = qkv.reshape(bw, n, 3, nh, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (bw, n, nh, hd)
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(bw, n, c)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)  # (bw, nh, n, n)
+            attn = attn + bias[None].astype(attn.dtype)
+
+            if mask is not None:
+                nw = mask.shape[0]
+                m = jnp.asarray(mask, dtype=attn.dtype)  # (nw, n, n)
+                attn = attn.reshape(bw // nw, nw, nh, n, n) + m[None, :, None]
+                attn = attn.reshape(bw, nh, n, n)
+
+            attn = jnp.asarray(attn, jnp.float32)
+            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(attn)
+
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(bw, n, c)
+
         out = nn.Dense(
             c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=trunc_normal_init(0.02), name="proj",

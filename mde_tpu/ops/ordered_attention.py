@@ -65,9 +65,12 @@ class PreNormOrderedSwinSA(nn.Module):
     bias_init: str = "linear"
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, indices: jnp.ndarray, train: bool = False):
+        from .pallas import resolve_impl, fused_ordered_window_attention
+
         b, h, w, c = x.shape
         r = self.window_size
         nh = self.num_heads
@@ -85,16 +88,13 @@ class PreNormOrderedSwinSA(nn.Module):
 
         if self.bias_type == "depth":
             idx_w = window_partition(indices[..., None].astype(jnp.int32), r)[..., 0]
-            rel = idx_w[:, :, None] - idx_w[:, None, :] + (self.num_emb - 1)
             table = self.param(
                 "depth_embedding",
                 depth_embedding_init(self.num_emb, nh, self.bias_init),
                 (2 * self.num_emb - 1, nh),
             )
-            de = jnp.take(table, rel, axis=0)  # (B*nW, n, n, nh)
-            de = de.transpose(0, 3, 1, 2)  # (B*nW, nh, n, n)
         elif self.bias_type == "none":
-            de = None
+            idx_w = table = None
         else:
             raise ValueError(f"Unsupported bias type {self.bias_type}.")
 
@@ -104,25 +104,41 @@ class PreNormOrderedSwinSA(nn.Module):
             return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                             kernel_init=trunc_normal_init(0.02), name=name)
 
-        q = dense("q_proj")(xn).reshape(-1, n, nh, hd)
-        k = dense("k_proj")(xn).reshape(-1, n, nh, hd)
-        v = dense("v_proj")(xn).reshape(-1, n, nh, hd)
+        impl = resolve_impl(self.attn_impl)
+        use_fused = (impl != "xla" and not self.return_weights
+                     and not (train and self.attn_drop_prob > 0))
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        # reference drops attention logits BEFORE the bias add + softmax
-        # (oda2_red_order_swin2_decoder.py:117)
-        attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(attn)
-        if de is not None:
-            attn = attn + de.astype(attn.dtype)
-        attn = nn.softmax(jnp.asarray(attn, jnp.float32), axis=-1)
-        weights = attn
-        attn = attn.astype(self.dtype)
+        if use_fused:
+            q = dense("q_proj")(xn)
+            k = dense("k_proj")(xn)
+            v = dense("v_proj")(xn)
+            idx_arg = (idx_w if idx_w is not None
+                       else jnp.zeros(q.shape[:2], jnp.int32))
+            out = fused_ordered_window_attention(
+                q, k, v, idx_arg, table, nh, scale, self.num_emb, impl=impl)
+            weights = None
+        else:
+            q = dense("q_proj")(xn).reshape(-1, n, nh, hd)
+            k = dense("k_proj")(xn).reshape(-1, n, nh, hd)
+            v = dense("v_proj")(xn).reshape(-1, n, nh, hd)
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, n, c)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            # reference drops attention logits BEFORE the bias add + softmax
+            # (oda2_red_order_swin2_decoder.py:117)
+            attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(attn)
+            if table is not None:
+                rel = idx_w[:, :, None] - idx_w[:, None, :] + (self.num_emb - 1)
+                de = jnp.take(table, rel, axis=0)  # (B*nW, n, n, nh)
+                attn = attn + de.transpose(0, 3, 1, 2).astype(attn.dtype)
+            attn = nn.softmax(jnp.asarray(attn, jnp.float32), axis=-1)
+            weights = attn
+            attn = attn.astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, n, c)
+
         out = dense("o_proj")(out)
         out = nn.Dropout(self.drop_prob, deterministic=not train)(out)
 
-        out = window_reverse(out.reshape(-1, r, r, c).reshape(-1, r * r, c), r, h, w)
+        out = window_reverse(out, r, h, w)
         if self.shift_size > 0:
             out = cyclic_unshift(out, self.shift_size)
 

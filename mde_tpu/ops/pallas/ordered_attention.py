@@ -1,0 +1,201 @@
+"""Fused ordered depth-bias window attention — Pallas TPU kernel.
+
+The flagship decoder op (reference
+``model/ODA2/oda2_red_order_swin2_decoder.py:87-119``): window self-attention
+whose logits receive a learned per-head bias indexed by the pairwise
+difference of quantized depth indices, ``bias[q,k,h] = T[i_q - i_k + E-1, h]``
+with ``T`` of shape ``(2E-1, heads)``.
+
+XLA lowers that lookup to a gather producing a ``(B*nW, N, N, heads)`` HBM
+tensor (≈100 MB at bench shapes) before the logits add. Mosaic has no dynamic
+VMEM gather, so the kernel reformulates the lookup as MXU matmuls over
+one-hot index encodings:
+
+    M[a, h*E + b] = T[a - b + E - 1, h]          (Toeplitz expansion, XLA,
+                                                  (E, heads*E), built per call)
+    G   = onehot(i_q) @ M                        -> (TB, N, heads*E)   row gather
+    B_h = G[:, :, h*E:(h+1)*E] @ onehot(i_k)^T   -> (TB, N, N)      column gather
+
+Both matmuls run in f32 so the selected table entries are bit-exact with the
+XLA gather. Attention itself (QK^T, PV) stays in the input dtype with f32
+accumulation. No (.., N, N, heads) tensor ever leaves VMEM.
+
+Gradients: ``custom_vjp`` — backward recomputes via the XLA path, giving
+exact grads for q/k/v *and the bias table*.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .window_attention import _pick_tb
+
+
+def toeplitz_bias_matrix(table: jnp.ndarray, num_emb: int) -> jnp.ndarray:
+    """(2E-1, heads) bias table -> (E, heads*E) Toeplitz expansion.
+
+    M[a, h*E + b] = table[a - b + E - 1, h]. Constant-index gather, built
+    once per call in XLA (≈1 MB at E=128); negligible next to one attention
+    layer.
+    """
+    e = num_emb
+    nh = table.shape[1]
+    a = jnp.arange(e)[:, None]
+    b = jnp.arange(e)[None, :]
+    rel = a - b + (e - 1)                       # (E, E) in [0, 2E-2]
+    m = jnp.take(table, rel, axis=0)            # (E, E, heads)
+    m = jnp.transpose(m, (0, 2, 1))             # (E, heads, E)
+    return m.reshape(e, nh * e)
+
+
+def xla_ordered_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          idx: jnp.ndarray, table: Optional[jnp.ndarray],
+                          num_heads: int, scale: float,
+                          num_emb: int) -> jnp.ndarray:
+    """Reference einsum+gather path (and the custom-vjp backward)."""
+    bw, n, c = q.shape
+    nh = num_heads
+    hd = c // nh
+    qh = q.reshape(bw, n, nh, hd)
+    kh = k.reshape(bw, n, nh, hd)
+    vh = v.reshape(bw, n, nh, hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+    attn = attn * scale
+    if table is not None:
+        rel = idx[:, :, None] - idx[:, None, :] + (num_emb - 1)  # (BW, N, N)
+        de = jnp.take(table, rel, axis=0)                        # (BW, N, N, nh)
+        attn = attn + de.transpose(0, 3, 1, 2).astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+    return out.reshape(bw, n, c)
+
+
+def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
+            *refs):
+    if has_bias:
+        q_ref, k_ref, v_ref, i_ref, m_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        i_ref = m_ref = None
+
+    q = q_ref[:]  # (TB, N, C)
+    k = k_ref[:]
+    v = v_ref[:]
+    tb, n, c = q.shape
+    nh = num_heads
+    hd = c // nh
+    e = num_emb
+
+    if m_ref is not None:
+        idx = i_ref[:]                                   # (TB, N) int32
+        iota_qe = jax.lax.broadcasted_iota(jnp.int32, (tb, n, e), 2)
+        oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)   # (TB, N, E)
+        iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
+        oh_kt = (iota_ek == idx[:, None, :]).astype(jnp.float32)  # (TB, E, N)
+        # row gather: G[t, q, h*E + b] = T[i_q - b + E - 1, h]
+        g = jax.lax.dot_general(
+            oh_q, m_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (TB, N, nh*E)
+    else:
+        oh_kt = g = None
+
+    q = q * jnp.asarray(scale, q.dtype)
+    qk_dims = (((2,), (2,)), ((0,), (0,)))
+    bias_dims = (((2,), (1,)), ((0,), (0,)))
+    pv_dims = (((2,), (1,)), ((0,), (0,)))
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(q[:, :, sl], k[:, :, sl], qk_dims,
+                                preferred_element_type=jnp.float32)
+        if g is not None:
+            # column gather: bias[t, q, k'] = G[t, q, i_k'] (head h slab)
+            bias = jax.lax.dot_general(
+                g[:, :, h * e:(h + 1) * e], oh_kt, bias_dims,
+                preferred_element_type=jnp.float32)      # (TB, N, N)
+            s = s + bias
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jax.lax.dot_general(p, v[:, :, sl], pv_dims,
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
+                              interpret: bool) -> jnp.ndarray:
+    bw, n, c = q.shape
+    tb = _pick_tb(bw, None)
+    grid = (bw // tb,)
+
+    def blk(shape):
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [blk((tb, n, c)), blk((tb, n, c)), blk((tb, n, c))]
+    args = [q, k, v]
+    has_bias = table is not None
+    if has_bias:
+        m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
+        in_specs.append(blk((tb, n)))
+        in_specs.append(pl.BlockSpec(m_all.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += [idx.astype(jnp.int32), m_all]
+
+    kernel = functools.partial(_kernel, num_heads, float(scale), num_emb,
+                               has_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=blk((tb, n, c)),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused(q, k, v, idx, table, num_heads, scale, num_emb, interpret):
+    return _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale,
+                                     num_emb, interpret)
+
+
+def _fused_fwd(q, k, v, idx, table, num_heads, scale, num_emb, interpret):
+    out = _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale,
+                                    num_emb, interpret)
+    return out, (q, k, v, idx, table)
+
+
+def _fused_bwd(num_heads, scale, num_emb, interpret, res, g):
+    q, k, v, idx, table = res
+    def ref(q_, k_, v_, t_):
+        return xla_ordered_attention(q_, k_, v_, idx, t_, num_heads, scale,
+                                     num_emb)
+    _, vjp = jax.vjp(ref, q, k, v, table)
+    dq, dk, dv, dt = vjp(g)
+    return dq, dk, dv, None, dt
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_ordered_window_attention(q: jnp.ndarray, k: jnp.ndarray,
+                                   v: jnp.ndarray, idx: jnp.ndarray,
+                                   table: Optional[jnp.ndarray],
+                                   num_heads: int, scale: float,
+                                   num_emb: int,
+                                   impl: str = "pallas") -> jnp.ndarray:
+    """Ordered window MHA over (B*nW, N, C) q/k/v.
+
+    idx: (B*nW, N) int32 quantized depth indices in [0, num_emb).
+    table: optional (2*num_emb-1, heads) learned relative-depth bias table
+    (None == bias_type 'none').
+    """
+    if impl == "xla":
+        return xla_ordered_attention(q, k, v, idx, table, num_heads, scale,
+                                     num_emb)
+    interpret = impl == "pallas_interpret"
+    return _fused(q, k, v, idx, table, num_heads, scale, num_emb, interpret)

@@ -1,0 +1,176 @@
+"""Fused window multi-head attention (W-MSA / SW-MSA) Pallas TPU kernel.
+
+Computes ``softmax(q @ k^T * scale + bias + mask) @ v`` over window-batched
+tokens without materializing the ``(B*nW, heads, N, N)`` logits in HBM —
+the reference's torch path (``model/ODA2/oda2_swin_transformer.py:141-170``)
+and the XLA einsum fallback both round-trip those logits through main memory;
+at Swin-L 448x896 that is hundreds of MB per layer.
+
+Layout: windows ride the leading (grid) dimension, ``TB`` windows per program.
+Per head, scores are a batched MXU dot ``(TB, N, hd) x (TB, N, hd) ->
+(TB, N, N)`` kept in VMEM through bias/mask add and a f32 softmax, then the
+PV dot writes the head's lane slice of the output block.
+
+Gradients: ``custom_vjp`` — backward recomputes attention via the XLA einsum
+path (exactly differentiable, same memory profile as the non-fused forward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tb(bw: int, nw: Optional[int]) -> int:
+    """Largest window-block size that divides BW (and nW when masked)."""
+    for tb in (16, 8, 4, 2, 1):
+        if bw % tb == 0 and (nw is None or nw % tb == 0):
+            return tb
+    return 1
+
+
+def xla_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         bias: Optional[jnp.ndarray],
+                         mask: Optional[jnp.ndarray],
+                         num_heads: int, scale: float) -> jnp.ndarray:
+    """Reference einsum path (also the custom-vjp backward)."""
+    bw, n, c = q.shape
+    hd = c // num_heads
+    qh = q.reshape(bw, n, num_heads, hd)
+    kh = k.reshape(bw, n, num_heads, hd)
+    vh = v.reshape(bw, n, num_heads, hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", qh * jnp.asarray(scale, q.dtype), kh)
+    attn = attn.astype(jnp.float32)
+    if bias is not None:
+        attn = attn + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(bw // nw, nw, num_heads, n, n) \
+            + jnp.asarray(mask, jnp.float32)[None, :, None]
+        attn = attn.reshape(bw, num_heads, n, n)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+    return out.reshape(bw, n, c)
+
+
+def _kernel(num_heads: int, scale: float, has_bias: bool, has_mask: bool,
+            *refs):
+    if has_bias and has_mask:
+        q_ref, k_ref, v_ref, b_ref, m_ref, o_ref = refs
+    elif has_bias:
+        q_ref, k_ref, v_ref, b_ref, o_ref = refs
+        m_ref = None
+    elif has_mask:
+        q_ref, k_ref, v_ref, m_ref, o_ref = refs
+        b_ref = None
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        b_ref = m_ref = None
+
+    q = q_ref[:]  # (TB, N, C)
+    k = k_ref[:]
+    v = v_ref[:]
+    tb, n, c = q.shape
+    hd = c // num_heads
+    mask = m_ref[:].astype(jnp.float32) if m_ref is not None else None  # (TB, N, N)
+
+    q = q * jnp.asarray(scale, q.dtype)
+    batch_dims = (((2,), (2,)), ((0,), (0,)))      # contract hd, batch TB
+    pv_dims = (((2,), (1,)), ((0,), (0,)))         # contract N,  batch TB
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(q[:, :, sl], k[:, :, sl], batch_dims,
+                                preferred_element_type=jnp.float32)
+        if b_ref is not None:
+            s = s + b_ref[h].astype(jnp.float32)[None]
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jax.lax.dot_general(p, v[:, :, sl], pv_dims,
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _pallas_window_attention(q, k, v, bias, mask, num_heads, scale,
+                             interpret: bool) -> jnp.ndarray:
+    bw, n, c = q.shape
+    nw = mask.shape[0] if mask is not None else None
+    tb = _pick_tb(bw, nw)
+    grid = (bw // tb,)
+
+    def qkv_spec():
+        return pl.BlockSpec((tb, n, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+
+    in_specs = [qkv_spec(), qkv_spec(), qkv_spec()]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32))
+    if mask is not None:
+        nwb = nw // tb
+        in_specs.append(pl.BlockSpec((tb, n, n), lambda i: (i % nwb, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(mask, jnp.float32))
+
+    kernel = functools.partial(_kernel, num_heads, float(scale),
+                               bias is not None, mask is not None)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused(q, k, v, bias, mask, num_heads, scale, interpret):
+    return _pallas_window_attention(q, k, v, bias, mask, num_heads, scale,
+                                    interpret)
+
+
+def _fused_fwd(q, k, v, bias, mask, num_heads, scale, interpret):
+    out = _pallas_window_attention(q, k, v, bias, mask, num_heads, scale,
+                                   interpret)
+    return out, (q, k, v, bias, mask)
+
+
+def _fused_bwd(num_heads, scale, interpret, res, g):
+    q, k, v, bias, mask = res
+    def ref(q_, k_, v_, b_):
+        return xla_window_attention(q_, k_, v_, b_, mask, num_heads, scale)
+    _, vjp = jax.vjp(ref, q, k, v, bias)
+    dq, dk, dv, db = vjp(g)
+    dm = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, db, dm
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           bias: Optional[jnp.ndarray],
+                           mask: Optional[jnp.ndarray],
+                           num_heads: int, scale: float,
+                           impl: str = "pallas") -> jnp.ndarray:
+    """Window MHA over (B*nW, N, C) q/k/v.
+
+    bias: optional (heads, N, N) additive logits bias (rel-pos bias).
+    mask: optional (nW, N, N) additive SW-MSA mask (compile-time constant).
+    """
+    if impl == "xla":
+        return xla_window_attention(q, k, v, bias, mask, num_heads, scale)
+    interpret = impl == "pallas_interpret"
+    if bias is None and mask is None:
+        # avoid a custom_vjp cell for the trivial-constant case; same path
+        return _fused(q, k, v, None, None, num_heads, scale, interpret)
+    return _fused(q, k, v, bias, mask, num_heads, scale, interpret)

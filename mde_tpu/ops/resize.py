@@ -11,65 +11,64 @@ constants and apply them as two dense matmuls:
 
 which XLA tiles straight onto the MXU. Separable, exact, differentiable (the
 VJP is the transposed matmuls), and fuses with surrounding ops.
+
+The matrices are generated *on device* from iota at trace time (a few fused
+VPU ops) rather than embedded as dense HLO constants — a 896x704 f32 literal
+per resize made the serialized program too large for remote-compile
+endpoints, and constants don't dedupe across call sites pre-optimization.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
-import numpy as np
 import jax.numpy as jnp
 
 
-@functools.lru_cache(maxsize=None)
-def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> jnp.ndarray:
     """(out_size, in_size) row-stochastic 1-D linear interpolation matrix."""
-    A = np.zeros((out_size, in_size), dtype=np.float32)
     if in_size == 1:
-        A[:, 0] = 1.0
-        return A
+        return jnp.ones((out_size, 1), jnp.float32)
     if align_corners:
         if out_size == 1:
-            src = np.zeros(1, dtype=np.float64)
+            src = jnp.zeros((1,), jnp.float32)
         else:
-            src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+            src = jnp.arange(out_size, dtype=jnp.float32) \
+                * (float(in_size - 1) / float(out_size - 1))
     else:
         scale = in_size / out_size
-        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
-        src = np.clip(src, 0.0, None)  # torch clamps negative source coords to 0
-    i0 = np.floor(src).astype(np.int64)
-    i0 = np.clip(i0, 0, in_size - 1)
-    i1 = np.minimum(i0 + 1, in_size - 1)
-    frac = (src - i0).astype(np.float32)
-    rows = np.arange(out_size)
-    A[rows, i0] += 1.0 - frac
-    A[rows, i1] += frac
-    return A
+        src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+        src = jnp.maximum(src, 0.0)  # torch clamps negative source coords to 0
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    frac = src - i0.astype(jnp.float32)
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    # i0 == i1 at the right edge: the two terms sum to 1 exactly as the
+    # numpy `A[rows, i0] += ...; A[rows, i1] += ...` construction did.
+    return ((1.0 - frac)[:, None] * (cols == i0[:, None])
+            + frac[:, None] * (cols == i1[:, None])).astype(jnp.float32)
 
 
-@functools.lru_cache(maxsize=None)
-def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+def _nearest_matrix(in_size: int, out_size: int) -> jnp.ndarray:
     """torch 'nearest' (floor) index-selection matrix."""
-    A = np.zeros((out_size, in_size), dtype=np.float32)
-    src = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
-    src = np.clip(src.astype(np.int64), 0, in_size - 1)
-    A[np.arange(out_size), src] = 1.0
-    return A
+    src = jnp.floor(jnp.arange(out_size, dtype=jnp.float32)
+                    * (in_size / out_size))
+    src = jnp.clip(src.astype(jnp.int32), 0, in_size - 1)
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    return (cols == src[:, None]).astype(jnp.float32)
 
 
-@functools.lru_cache(maxsize=None)
-def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
+def _adaptive_avg_matrix(in_size: int, out_size: int) -> jnp.ndarray:
     """torch AdaptiveAvgPool2d region-mean matrix."""
-    A = np.zeros((out_size, in_size), dtype=np.float32)
-    for i in range(out_size):
-        start = (i * in_size) // out_size
-        end = -(-((i + 1) * in_size) // out_size)  # ceil
-        A[i, start:end] = 1.0 / (end - start)
-    return A
+    i = jnp.arange(out_size, dtype=jnp.int32)
+    start = (i * in_size) // out_size
+    end = ((i + 1) * in_size + out_size - 1) // out_size  # ceil
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    inside = (cols >= start[:, None]) & (cols < end[:, None])
+    return inside.astype(jnp.float32) / (end - start)[:, None].astype(jnp.float32)
 
 
-def _apply_separable(x: jnp.ndarray, A_h: np.ndarray, A_w: np.ndarray) -> jnp.ndarray:
+def _apply_separable(x: jnp.ndarray, A_h: jnp.ndarray, A_w: jnp.ndarray) -> jnp.ndarray:
     """Apply per-axis matrices to NHWC ``x``; compute in f32, cast back."""
     orig_dtype = x.dtype
     y = jnp.einsum(

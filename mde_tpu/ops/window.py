@@ -3,17 +3,14 @@
 The reference's ``SwinWindowing`` (``model/ODA2/oda2_swin_transformer.py:41-92``)
 folds windows into the batch dim with view/permute; we do the same with
 reshapes/transposes which XLA fuses into surrounding ops for free. The SW-MSA
-attention mask is computed *at trace time* in numpy (shapes are static under
-jit), so it is a compile-time constant — no device work, no dynamic control
-flow (reference computes it per forward on device:
+attention mask is built from iota under jit (static shapes, no dynamic
+control flow); XLA constant-folds or fuses it, and no large literal is
+embedded in the program (reference computes it per forward on device:
 ``oda2_swin_transformer.py:409-432``).
 """
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
 import jax.numpy as jnp
 
 
@@ -42,36 +39,33 @@ def window_reverse(windows: jnp.ndarray, window_size: int, h: int, w: int) -> jn
     return x.reshape(b, h, w, c)
 
 
-@functools.lru_cache(maxsize=None)
 def shifted_window_attn_mask(h: int, w: int, window_size: int,
-                             shift_size: int) -> np.ndarray:
+                             shift_size: int) -> jnp.ndarray:
     """Additive (0 / -100) SW-MSA mask of shape (num_windows, r*r, r*r).
 
     Reproduces the reference's region-labelling construction
     (``oda2_swin_transformer.py:409-432``): tokens that wrapped around under
-    the cyclic shift must not attend across region boundaries. Returned as a
-    numpy constant; broadcast over batch at use site.
+    the cyclic shift must not attend across region boundaries.
+
+    Built on-device from iota (labels 0/1/2 per axis: before the last window,
+    the rolled-in remainder, the shifted tail) rather than as a numpy
+    constant: at Swin stage 1 the mask is (512, 49, 49) per layer, and
+    embedding those as HLO literals made the serialized program too large for
+    remote-compile endpoints. The iota form is a handful of fused VPU ops.
     """
     r = window_size
     assert h % r == 0 and w % r == 0
-    img_mask = np.zeros((h, w), dtype=np.int32)
-    slices = (
-        slice(0, -r),
-        slice(-r, -shift_size),
-        slice(-shift_size, None),
-    )
-    cnt = 0
-    for hs in slices:
-        for ws in slices:
-            img_mask[hs, ws] = cnt
-            cnt += 1
 
-    # window-partition the label map
-    labels = img_mask.reshape(h // r, r, w // r, r)
+    def axis_labels(size):
+        i = jnp.arange(size, dtype=jnp.int32)
+        return ((i >= size - r).astype(jnp.int32)
+                + (i >= size - shift_size).astype(jnp.int32))
+
+    lab = axis_labels(h)[:, None] * 3 + axis_labels(w)[None, :]  # (h, w)
+    labels = lab.reshape(h // r, r, w // r, r)
     labels = labels.transpose(0, 2, 1, 3).reshape(-1, r * r)  # (nW, r*r)
     diff = labels[:, :, None] - labels[:, None, :]
-    mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
-    return mask
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
 
 
 def cyclic_shift(x: jnp.ndarray, shift: int) -> jnp.ndarray:

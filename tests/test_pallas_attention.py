@@ -1,0 +1,151 @@
+"""Parity tests: Pallas fused attention kernels vs the XLA einsum paths.
+
+Run in interpreter mode on CPU (conftest forces the cpu platform); the same
+kernels compile with Mosaic on TPU. Values must match the XLA path to f32
+tolerance; gradients flow through the custom_vjp (XLA recompute) and must
+match differentiating the XLA path directly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mde_tpu.ops.pallas.window_attention import (
+    fused_window_attention, xla_window_attention)
+from mde_tpu.ops.pallas.ordered_attention import (
+    fused_ordered_window_attention, xla_ordered_attention)
+from mde_tpu.ops.window import shifted_window_attn_mask
+
+
+def _qkv(key, bw, n, c):
+    ks = jax.random.split(key, 3)
+    return [jax.random.normal(k, (bw, n, c), jnp.float32) for k in ks]
+
+
+@pytest.mark.parametrize("with_bias,with_mask", [
+    (False, False), (True, False), (True, True),
+])
+def test_window_attention_parity(with_bias, with_mask):
+    nh, n, c = 4, 49, 64
+    h = w = 28
+    r = 7
+    nw = (h // r) * (w // r)
+    bw = 2 * nw
+    q, k, v = _qkv(jax.random.PRNGKey(0), bw, n, c)
+    bias = (jax.random.normal(jax.random.PRNGKey(1), (nh, n, n), jnp.float32)
+            if with_bias else None)
+    mask = (jnp.asarray(shifted_window_attn_mask(h, w, r, 3))
+            if with_mask else None)
+
+    ref = xla_window_attention(q, k, v, bias, mask, nh, 0.25)
+    out = fused_window_attention(q, k, v, bias, mask, nh, 0.25,
+                                 impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_window_attention_grad():
+    nh, n, c, bw = 2, 16, 32, 8
+    q, k, v = _qkv(jax.random.PRNGKey(2), bw, n, c)
+    bias = jax.random.normal(jax.random.PRNGKey(3), (nh, n, n), jnp.float32)
+
+    def loss_fused(q, k, v, b):
+        o = fused_window_attention(q, k, v, b, None, nh, 0.25,
+                                   impl="pallas_interpret")
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v, b):
+        return jnp.sum(xla_window_attention(q, k, v, b, None, nh, 0.25) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("with_table", [True, False])
+def test_ordered_attention_parity(with_table):
+    nh, n, c, e = 4, 64, 128, 32
+    bw = 8
+    q, k, v = _qkv(jax.random.PRNGKey(4), bw, n, c)
+    idx = jax.random.randint(jax.random.PRNGKey(5), (bw, n), 0, e)
+    table = (jax.random.normal(jax.random.PRNGKey(6), (2 * e - 1, nh),
+                               jnp.float32) if with_table else None)
+
+    ref = xla_ordered_attention(q, k, v, idx, table, nh, 0.125, e)
+    out = fused_ordered_window_attention(q, k, v, idx, table, nh, 0.125, e,
+                                         impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ordered_attention_grad():
+    nh, n, c, e, bw = 2, 16, 32, 16, 4
+    q, k, v = _qkv(jax.random.PRNGKey(7), bw, n, c)
+    idx = jax.random.randint(jax.random.PRNGKey(8), (bw, n), 0, e)
+    table = jax.random.normal(jax.random.PRNGKey(9), (2 * e - 1, nh),
+                              jnp.float32)
+
+    def loss_fused(q, k, v, t):
+        o = fused_ordered_window_attention(q, k, v, idx, t, nh, 0.25, e,
+                                           impl="pallas_interpret")
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v, t):
+        return jnp.sum(xla_ordered_attention(q, k, v, idx, t, nh, 0.25, e) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_toeplitz_bias_matches_gather():
+    from mde_tpu.ops.pallas.ordered_attention import toeplitz_bias_matrix
+    e, nh = 8, 3
+    table = jax.random.normal(jax.random.PRNGKey(10), (2 * e - 1, nh))
+    m = toeplitz_bias_matrix(table, e)
+    for a in range(e):
+        for b in range(e):
+            for h in range(nh):
+                assert m[a, h * e + b] == table[a - b + e - 1, h]
+
+
+def test_window_attention_module_impl_parity(monkeypatch):
+    """The flax WindowAttention module gives identical results on both paths."""
+    import flax.linen as nn  # noqa: F401
+    from mde_tpu.ops.attention import WindowAttention
+    from mde_tpu.ops.window import shifted_window_attn_mask
+
+    mod = WindowAttention(num_heads=2, window_size=4, attn_impl="xla")
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 32), jnp.float32)
+    mask = shifted_window_attn_mask(8, 8, 4, 2)
+    params = mod.init(jax.random.PRNGKey(1), x, mask)
+    ref = mod.apply(params, x, mask)
+
+    mod2 = WindowAttention(num_heads=2, window_size=4,
+                           attn_impl="pallas_interpret")
+    out = mod2.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ordered_module_impl_parity():
+    from mde_tpu.ops.ordered_attention import PreNormOrderedSwinSA
+
+    kwargs = dict(num_heads=2, num_emb=16, window_size=4, shift_size=2,
+                  bias_type="depth", bias_init="linear")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 8, 8), 0, 16)
+
+    mod = PreNormOrderedSwinSA(attn_impl="xla", **kwargs)
+    params = mod.init(jax.random.PRNGKey(2), x, idx)
+    ref, _ = mod.apply(params, x, idx)
+
+    mod2 = PreNormOrderedSwinSA(attn_impl="pallas_interpret", **kwargs)
+    out, _ = mod2.apply(params, x, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
