@@ -55,19 +55,22 @@ def main():
     variables = jax.jit(lambda: model.init(
         {"params": jax.random.PRNGKey(0)}, x[:1], train=False))()
 
+    # params as an explicit jit argument: closed-over arrays are embedded in
+    # the serialized program as literals, which blows past remote-compile
+    # body limits (HTTP 413) and bloats the compile cache
     @jax.jit
-    def fwd(images):
-        pred, _, _ = model.apply(variables, images, train=False)
+    def fwd(params, images):
+        pred, _, _ = model.apply(params, images, train=False)
         return pred
 
     # warmup / compile
-    fwd(x).block_until_ready()
-    fwd(x).block_until_ready()
+    fwd(variables, x).block_until_ready()
+    fwd(variables, x).block_until_ready()
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(x)
+        out = fwd(variables, x)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
