@@ -55,24 +55,38 @@ def main():
     variables = jax.jit(lambda: model.init(
         {"params": jax.random.PRNGKey(0)}, x[:1], train=False))()
 
-    # params as an explicit jit argument: closed-over arrays are embedded in
-    # the serialized program as literals, which blows past remote-compile
-    # body limits (HTTP 413) and bloats the compile cache
+    # Measurement notes (axon tunnel):
+    # * params are an explicit jit argument — closed-over arrays get embedded
+    #   in the serialized program as literals, which blows past remote-compile
+    #   body limits (HTTP 413);
+    # * block_until_ready does NOT wait on the experimental axon platform and
+    #   host transfers run at ~1 MB/s, so iterations are chained INSIDE jit
+    #   (fori_loop with a data dependency through the carry so XLA cannot
+    #   hoist the loop-invariant forward) and only a f32 scalar comes back;
+    # * per-iter time is the slope between two trip counts, cancelling the
+    #   dispatch + round-trip overhead.
     @jax.jit
-    def fwd(params, images):
-        pred, _, _ = model.apply(params, images, train=False)
-        return pred
+    def loop(params, images, n):
+        def body(_, acc):
+            pred, _, _ = model.apply(
+                params, images + acc * jnp.asarray(1e-12, images.dtype),
+                train=False)
+            return jnp.mean(pred).astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
-    # warmup / compile
-    fwd(variables, x).block_until_ready()
-    fwd(variables, x).block_until_ready()
+    def timed(n):
+        t0 = time.perf_counter()
+        r = loop(variables, x, n)
+        r = float(r)
+        assert np.isfinite(r), r
+        return time.perf_counter() - t0
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    timed(1)  # compile + warmup
+    n1, n2 = 2, 12
+    t1 = min(timed(n1) for _ in range(2))
+    t2 = min(timed(n2) for _ in range(2))
+    dt = max(t2 - t1, 1e-9)
+    iters = n2 - n1
 
     img_s = batch * iters / dt
     print(json.dumps({

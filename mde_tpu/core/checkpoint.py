@@ -256,3 +256,164 @@ def tree_shapes_match(a, b) -> List[str]:
     walk(a, b, "")
     del jax
     return mismatches
+
+
+# ---------------------------------------------------------------------------
+# AdaBins released-checkpoint converter
+# ---------------------------------------------------------------------------
+
+# B5 stage repeats: round_repeats over the B0 template with depth 2.2
+_B5_REPEATS = (3, 5, 5, 7, 7, 9, 3)
+
+
+def _bn_pair(acc: KeyAccountant, prefix: str):
+    """torch BatchNorm -> ({'bn': params}, {'bn': stats}) subtree pair."""
+    acc.skip(re.escape(prefix) + r"\.num_batches_tracked$")
+    params = {"scale": acc.take(f"{prefix}.weight"),
+              "bias": acc.take(f"{prefix}.bias")}
+    stats = {"mean": acc.take(f"{prefix}.running_mean"),
+             "var": acc.take(f"{prefix}.running_var")}
+    return {"bn": params}, {"bn": stats}
+
+
+def _dw_conv(acc: KeyAccountant, key: str) -> np.ndarray:
+    """torch depthwise (C, 1, kh, kw) -> our raw (kh, kw, C) weight."""
+    w = acc.take(key)
+    assert w.shape[1] == 1, w.shape
+    return w.transpose(2, 3, 0, 1)[..., 0]
+
+
+def convert_efficientnet_b5(acc: KeyAccountant, prefix: str = ""):
+    """gen-efficientnet-pytorch ``tf_efficientnet_b5_ap`` (the torch.hub
+    backend of AdaBins/Depthformer, ``unet_adaptive_bins.py:125-139``) ->
+    (params, batch_stats) for our ``EfficientNetFeatures``.
+
+    The released AdaBins checkpoints carry no head ``bn2``
+    (``checkpoint/adabins_checkpoint_rename.py:15-17``); stray bn2/classifier
+    keys are skipped exactly like the reference rename script.
+    """
+    p = prefix
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    acc.skip(re.escape(p) + r"bn2\.")
+    acc.skip(re.escape(p) + r"classifier\.")
+
+    params["conv_stem"] = {
+        "kernel": acc.take(f"{p}conv_stem.weight").transpose(2, 3, 1, 0)}
+    params["bn1"], stats["bn1"] = _bn_pair(acc, f"{p}bn1")
+
+    for si, reps in enumerate(_B5_REPEATS):
+        for bi in range(reps):
+            bp = f"{p}blocks.{si}.{bi}"
+            blk: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            blk["conv_dw"] = _dw_conv(acc, f"{bp}.conv_dw.weight")
+            blk["se"] = {
+                "conv_reduce": _conv(acc, f"{bp}.se.conv_reduce"),
+                "conv_expand": _conv(acc, f"{bp}.se.conv_expand"),
+            }
+            if si == 0:
+                # DepthwiseSeparable: dw+bn1 -> se -> pw+bn2
+                blk["bn1"], blk_s["bn1"] = _bn_pair(acc, f"{bp}.bn1")
+                blk["conv_pw"] = _conv(acc, f"{bp}.conv_pw", bias=False)
+                blk["bn2"], blk_s["bn2"] = _bn_pair(acc, f"{bp}.bn2")
+            else:
+                # InvertedResidual: pw+bn1 -> dw+bn2 -> se -> pwl+bn3
+                blk["conv_pw"] = _conv(acc, f"{bp}.conv_pw", bias=False)
+                blk["bn1"], blk_s["bn1"] = _bn_pair(acc, f"{bp}.bn1")
+                blk["bn2"], blk_s["bn2"] = _bn_pair(acc, f"{bp}.bn2")
+                blk["conv_pwl"] = _conv(acc, f"{bp}.conv_pwl", bias=False)
+                blk["bn3"], blk_s["bn3"] = _bn_pair(acc, f"{bp}.bn3")
+            params[f"blocks{si}_{bi}"] = blk
+            stats[f"blocks{si}_{bi}"] = blk_s
+
+    params["conv_head"] = {
+        "kernel": acc.take(f"{p}conv_head.weight").transpose(2, 3, 1, 0)}
+    return params, stats
+
+
+def _torch_mha(acc: KeyAccountant, prefix: str, num_heads: int):
+    """torch ``nn.MultiheadAttention`` -> flax MultiHeadDotProductAttention.
+
+    torch packs q/k/v into in_proj (3E, E); flax wants per-projection kernels
+    of shape (E, heads, head_dim) and an out kernel (heads, head_dim, E).
+    """
+    w = acc.take(f"{prefix}.in_proj_weight")   # (3E, E)
+    b = acc.take(f"{prefix}.in_proj_bias")     # (3E,)
+    e = w.shape[1]
+    hd = e // num_heads
+    out: Dict[str, Any] = {}
+    for i, name in enumerate(("query", "key", "value")):
+        wi = w[i * e:(i + 1) * e]              # (E, E) torch (out, in)
+        bi = b[i * e:(i + 1) * e]
+        out[name] = {"kernel": wi.T.reshape(e, num_heads, hd),
+                     "bias": bi.reshape(num_heads, hd)}
+    wo = acc.take(f"{prefix}.out_proj.weight")  # (E, E)
+    bo = acc.take(f"{prefix}.out_proj.bias")
+    out["out"] = {"kernel": wo.T.reshape(num_heads, hd, e), "bias": bo}
+    return out
+
+
+def convert_adabins_model(torch_state: Dict[str, np.ndarray],
+                          num_heads: int = 4,
+                          num_layers: int = 4) -> Dict[str, Any]:
+    """Released AdaBins weights (after DDP-prefix strip) -> our
+    ``UnetAdaptiveBins`` variables {'params', 'batch_stats'}.
+
+    Replaces ``checkpoint/adabins_checkpoint_rename.py`` + the strict torch
+    load of ``model/adabins_check_model.py:8-21``. Uses the "Checkpoint ver."
+    layer names (``miniViT.py:16-18``, ``layers.py:11-18``).
+    """
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # encoder
+    params["encoder"], stats["encoder"] = convert_efficientnet_b5(
+        acc, "encoder.original_model.")
+
+    # decoder: conv2, up1..up4 (_net.{0,1,3,4} = conv0,bn0,conv1,bn1), conv3
+    dec: Dict[str, Any] = {"conv2": _conv(acc, "decoder.conv2"),
+                           "conv3": _conv(acc, "decoder.conv3")}
+    dec_s: Dict[str, Any] = {}
+    for u in range(1, 5):
+        up: Dict[str, Any] = {}
+        up_s: Dict[str, Any] = {}
+        for i, (ci, bi) in enumerate(((0, 1), (3, 4))):
+            up[f"conv{i}"] = _conv(acc, f"decoder.up{u}._net.{ci}")
+            bnp, bns = _bn_pair(acc, f"decoder.up{u}._net.{bi}")
+            up[f"bn{i}"] = bnp["bn"]
+            up_s[f"bn{i}"] = bns["bn"]
+        dec[f"up{u}"] = up
+        dec_s[f"up{u}"] = up_s
+    params["decoder"] = dec
+    stats["decoder"] = dec_s
+
+    # adaptive-bin head
+    abl: Dict[str, Any] = {
+        "embedding_conv": _conv(acc, "adaptive_bins_layer.embedding_conv")}
+    pt: Dict[str, Any] = {
+        "embedding_encoder": _conv(
+            acc, "adaptive_bins_layer.patch_transformer.embedding_encoder"),
+        "positional_encodings": acc.take(
+            "adaptive_bins_layer.patch_transformer.positional_encodings"),
+    }
+    for i in range(num_layers):
+        lp = f"adaptive_bins_layer.patch_transformer.transformer_encoder.layers.{i}"
+        pt[f"layer{i}"] = {
+            "self_attn": _torch_mha(acc, f"{lp}.self_attn", num_heads),
+            "linear1": _dense(acc, f"{lp}.linear1"),
+            "linear2": _dense(acc, f"{lp}.linear2"),
+            "norm1": _ln(acc, f"{lp}.norm1"),
+            "norm2": _ln(acc, f"{lp}.norm2"),
+        }
+    abl["patch_transformer"] = pt
+    for i, t in enumerate((0, 2, 4)):
+        abl[f"regressor{i}"] = _dense(acc, f"adaptive_bins_layer.regressor.{t}")
+    params["adaptive_bins_layer"] = abl
+
+    params["conv_out"] = _conv(acc, "conv_out")
+
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}

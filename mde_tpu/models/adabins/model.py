@@ -17,6 +17,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ..efficientnet import efficientnet_b5
 from ...ops.resize import resize_bilinear
 from ...ops.init import trunc_normal_init
@@ -39,7 +41,7 @@ class TorchTransformerEncoderLayer(nn.Module):
             num_heads=self.num_heads, dtype=self.dtype, param_dtype=jnp.float32,
             dropout_rate=self.drop, deterministic=not train, name="self_attn",
         )(x, x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm1")(x + nn.Dropout(
                              self.drop, deterministic=not train)(attn_out))
         y = nn.Dense(self.ff_dim, dtype=self.dtype, param_dtype=jnp.float32,
@@ -48,7 +50,7 @@ class TorchTransformerEncoderLayer(nn.Module):
         y = nn.Dropout(self.drop, deterministic=not train)(y)
         y = nn.Dense(e, dtype=self.dtype, param_dtype=jnp.float32,
                      name="linear2")(y)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm2")(x + nn.Dropout(
                              self.drop, deterministic=not train)(y))
         return x

@@ -19,6 +19,8 @@ from typing import Callable, Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.init import trunc_normal_init
 from ...ops.pad import pad2d
 from ...ops.resize import upsample2d
@@ -65,7 +67,7 @@ class ConvBNBlock(nn.Module):
     out_ch: int
     kernel_size: int = 3
     num_layers: int = 2
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     use_residual: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -84,7 +86,7 @@ class ResConvBNBlock(nn.Module):
     out_ch: int
     kernel_size: int = 3
     num_layers: int = 2
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,7 +105,7 @@ class ResConvBNBlock(nn.Module):
         return y + identity
 
 
-def upscale_concat_act(x_orig, y_to_upscale, scale: int, act=nn.gelu):
+def upscale_concat_act(x_orig, y_to_upscale, scale: int, act=tnn.gelu):
     """Bilinear x`scale` (align_corners=True) + concat + act
     (reference ``layer_utils.py:102-122``)."""
     y = upsample2d(y_to_upscale, scale)
@@ -132,7 +134,7 @@ class SelfAttentionBlock(nn.Module):
 
         residual = x
         if not self.post_norm:
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm")(x)
 
         def dense(feat, name):
@@ -155,7 +157,7 @@ class SelfAttentionBlock(nn.Module):
         out = nn.Dropout(self.drop_prob, deterministic=not train)(out)
         out = out + residual
         if self.post_norm:
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            out = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                name="norm")(out)
         return out, weights
 
@@ -165,7 +167,7 @@ class FeedForwardBlock(nn.Module):
 
     feedforward_dim: Optional[int] = None
     drop_prob: float = 0.1
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     post_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -175,7 +177,7 @@ class FeedForwardBlock(nn.Module):
         hidden = self.feedforward_dim or 4 * d
         identity = x
         if not self.post_norm:
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm")(x)
         x = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init(0.02), name="fc1")(x)
@@ -186,7 +188,7 @@ class FeedForwardBlock(nn.Module):
         x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
         out = identity + x
         if self.post_norm:
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            out = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                name="norm")(out)
         return out
 

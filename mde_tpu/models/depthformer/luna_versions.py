@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ..efficientnet import efficientnet_b5
 from .layers import ConvBN, ResConvBNBlock, ViTLayer, upscale_concat_act
 from ...ops.luna import LunaLayer, LunaHalfBlock
@@ -63,7 +65,7 @@ class DepthFormerLunaDecoder(nn.Module):
         x0, x1, x2, x3, x4 = features  # strides 2..32, NHWC
         d = self.hidden_dim
         nh = self.num_heads
-        act = nn.gelu if self.version == 6 else nn.silu
+        act = tnn.gelu if self.version == 6 else nn.silu
         pre_norm = self.version >= 7
 
         if self.version == 6:

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ..efficientnet import efficientnet_b5
 from .layers import ConvBN, ConvBNBlock, ViTLayer, upscale_concat_act
 
@@ -89,9 +91,9 @@ class DepthFormerDecoder(nn.Module):
         c0 = upscale_concat_act(x0, feat1, 16)
         c0 = post_conv(0, c0)
 
-        y = ConvBN(d // 2, 3, act=nn.gelu, use_residual=True,
+        y = ConvBN(d // 2, 3, act=tnn.gelu, use_residual=True,
                    dtype=self.dtype, name="final0")(c0, train)
-        y = ConvBN(d // 4, 3, act=nn.gelu, use_residual=True,
+        y = ConvBN(d // 4, 3, act=tnn.gelu, use_residual=True,
                    dtype=self.dtype, name="final1")(y, train)
         y = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                     name="final_out")(y)

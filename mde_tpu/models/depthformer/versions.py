@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ..efficientnet import efficientnet_b5
 from .layers import (
     ConvBN, ConvBNBlock, ResConvBNBlock, ViTLayer, upscale_concat_act,
@@ -280,13 +282,13 @@ class DepthFormerDecoderV4(nn.Module):
             up = jnp.einsum("bhn,bnhd->bhd",
                             attn.astype(self.dtype), vs).reshape(b, 1, d)
             new_cls = cls_box[0] + dense(d, f"post_cls{i}")(up)
-            new_cls = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            new_cls = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                    name=f"post_cls_ln{i}")(new_cls)
             cls_box[0] = new_cls
 
             w = dense(ff, f"cls_to_weight{i}_0")(new_cls)
             w = nn.Dropout(self.drop_prob, deterministic=not train)(w)
-            w = nn.gelu(w)
+            w = tnn.gelu(w)
             w = dense(d, f"cls_to_weight{i}_1")(w)
             vg = v * nn.sigmoid(jnp.asarray(w, v.dtype))[:, None]
             vg = ConvBN(d, 1, act=None, use_residual=False, dtype=self.dtype,
@@ -309,7 +311,7 @@ class DepthFormerDecoderV4(nn.Module):
         v1 = fuse(1, x1, v2)
         v0 = fuse(0, x0, v1)
 
-        y = nn.gelu(v0)
+        y = tnn.gelu(v0)
         y = ResConvBNBlock(d, 3, num_layers=2, dtype=self.dtype,
                            name="final_res")(y, train)
         y = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,

@@ -19,6 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.attention import relative_position_index
 from ...ops.init import trunc_normal_init
 from ...ops.mlp import SwinMLP
@@ -99,7 +101,7 @@ class CRFBlock(nn.Module):
         r = self.window_size
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
 
         # reference pads x and v with zeros (F.pad default, ``:215-216``)
         x = pad_to_multiple(x, r, mode="constant")
@@ -126,7 +128,7 @@ class CRFBlock(nn.Module):
         out = out[:, :h, :w, :]
 
         x = shortcut + out
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = SwinMLP(hidden_features=int(c * self.mlp_ratio),
                     drop_prob=self.drop_prob, dtype=self.dtype, name="mlp")(y, train=train)
         return x + y
@@ -156,6 +158,6 @@ class NewCRF(nn.Module):
                 num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 dtype=self.dtype, name=f"blocks{i}")(x, v, train=train)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm_crf")(x)
         return x

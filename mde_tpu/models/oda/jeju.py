@@ -23,6 +23,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from .encoder import ODASwinEncoder
 from .lion import PPMv2
 from ...ops.conv import ConvBN
@@ -82,7 +84,7 @@ class JejuBlock(nn.Module):
         out2, attn2 = attend(q2, k2, v2, d)
         out2 = _dense(d, self.dtype, "o2_proj")(out2)
         out2 = nn.Dropout(self.drop_prob, deterministic=not train)(out2)
-        out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        out = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                            name="norm")(hidden + out2)
         return out, aux_out, attn1, attn2
 
@@ -109,16 +111,16 @@ class JejuFeedForward(nn.Module):
 
         y = nn.Conv(ff, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(x_nhwc)
-        y = nn.gelu(bn("bn1")(y))
+        y = tnn.gelu(bn("bn1")(y))
         y = pad2d(y, 2, 2, 2, 2, mode="edge")
         y = nn.Conv(ff, (5, 5), padding="VALID", use_bias=False,
                     feature_group_count=math.gcd(self.num_groups, ff),
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
-        y = nn.gelu(bn("bn2")(y))
+        y = tnn.gelu(bn("bn2")(y))
 
         s = y.mean(axis=(1, 2))
         s = _dense(max(ff // 16, 1), self.dtype, "se0")(s)
-        s = nn.gelu(s)
+        s = tnn.gelu(s)
         s = _dense(ff, self.dtype, "se1")(s)
         y = y * nn.sigmoid(s)[:, None, None, :]
 
@@ -139,7 +141,7 @@ class ReorderUpsample1d(nn.Module):
         b, s, d = x.shape
         x = x.reshape(b, 2 * s, d // 2)
         x = _dense(d // 2, self.dtype, "fc")(x)
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        return tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                             name="norm")(x)
 
 
@@ -164,9 +166,9 @@ class SpatialUpsample2d(nn.Module):
                              momentum=1.0 - self.bn_momentum,
                              dtype=self.dtype, param_dtype=jnp.float32,
                              name="bn")(y)
-            y = nn.gelu(y)
+            y = tnn.gelu(y)
         else:
-            y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            y = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm")(y)
         return y
 
@@ -191,7 +193,7 @@ class ODAJejuModel(nn.Module):
             resize_to_multiple=self.resize_to_multiple, dtype=self.dtype,
             encoder_kwargs=self.encoder_kwargs, name="encoder")(x, train=train)
         f0, f1, f2, f3 = [
-            nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name=f"norm_f{i}")(f)
             for i, f in enumerate(feats)]
         c = self.decoder_channels
@@ -203,7 +205,7 @@ class ODAJejuModel(nn.Module):
         hidden = PPMv2(proj_ch=min(512, c // 4), out_ch=c, dtype=self.dtype,
                        name="ppm")(f3, train=train)
         hidden_tok = hidden.reshape(b, -1, c)
-        hidden_tok = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        hidden_tok = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                   name="norm_ppm")(hidden_tok)
         hidden = hidden_tok.reshape(hidden.shape)
 

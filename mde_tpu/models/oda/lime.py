@@ -19,6 +19,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from .encoder import ODASwinEncoder, oda_resize_policy
 from ...ops.conv import ConvBN
 from ...ops.pad import pad2d
@@ -49,11 +51,11 @@ class LimeConvBlock(nn.Module):
 
         y = nn.Conv(self.mid_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(x)
-        y = nn.gelu(bn("bn1")(y))
+        y = tnn.gelu(bn("bn1")(y))
         y = pad2d(y, 1, 1, 1, 1, mode="edge")
         y = nn.Conv(self.mid_ch, (3, 3), padding="VALID", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
-        y = nn.gelu(bn("bn2")(y))
+        y = tnn.gelu(bn("bn2")(y))
         y = nn.Conv(in_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv3")(y)
         y = bn("bn3")(y)
@@ -72,9 +74,9 @@ class LimeCrossAttention(nn.Module):
     def __call__(self, hidden: jnp.ndarray, enc: jnp.ndarray,
                  train: bool = False):
         b, s, d = hidden.shape
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm")(hidden)
-        e = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        e = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="enc_norm")(enc)
 
         def dense(feat, name):
@@ -131,7 +133,7 @@ class ODALimeModel(nn.Module):
         ], axis=-1)
         b = enc.shape[0]
         enc = enc.reshape(b, -1, enc.shape[-1])
-        enc = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        enc = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                            name="stem_enc_norm")(enc)
         enc = nn.Dense(2048, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=trunc_normal_init(0.02),
@@ -148,7 +150,7 @@ class ODALimeModel(nn.Module):
         h = nn.Conv(c // 2, (4, 4), strides=(2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv0")(x)
-        h = nn.gelu(bn("stem_bn0")(h))
+        h = tnn.gelu(bn("stem_bn0")(h))
         h = nn.Conv(c, (4, 4), strides=(2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv1")(h)

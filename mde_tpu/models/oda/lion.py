@@ -18,6 +18,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from .encoder import ODASwinEncoder
 from ...ops.conv import ConvBN
 from ...ops.pad import pad2d
@@ -46,10 +48,10 @@ class LionAxialAttention(nn.Module):
     def __call__(self, hidden: jnp.ndarray, enc: Optional[jnp.ndarray] = None,
                  train: bool = False):
         b, h, w, d = hidden.shape
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm")(hidden)
         if self.cross:
-            src = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            src = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                name="enc_norm")(enc)
         else:
             src = x
@@ -99,20 +101,20 @@ class LionFeedForwardConv(nn.Module):
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name)
 
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        y = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm")(x)
         y = nn.Conv(ff, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(y)
-        y = nn.gelu(bn("bn1")(y))
+        y = tnn.gelu(bn("bn1")(y))
 
         y = pad2d(y, 2, 2, 2, 2, mode="edge")
         y = nn.Conv(ff, (5, 5), padding="VALID", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
-        y = nn.gelu(bn("bn2")(y))
+        y = tnn.gelu(bn("bn2")(y))
 
         s = y.mean(axis=(1, 2))
         s = _dense(ff // 4, self.dtype, "se0")(s)
-        s = nn.gelu(s)
+        s = tnn.gelu(s)
         s = _dense(ff, self.dtype, "se1")(s)
         y = y * nn.sigmoid(s)[:, None, None, :]
 
@@ -186,14 +188,14 @@ class LionLayer(nn.Module):
 
         hidden = LionReorder(dtype=self.dtype, name="upscale")(hidden)
         if not self.last_block:
-            hidden = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            hidden = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                   name="out_norm")(hidden)
         else:
             hidden = nn.BatchNorm(use_running_average=not train,
                                   momentum=1.0 - self.bn_momentum,
                                   dtype=self.dtype, param_dtype=jnp.float32,
                                   name="out_bn")(hidden)
-            hidden = nn.gelu(hidden)
+            hidden = tnn.gelu(hidden)
         return hidden, attn, cross
 
 
@@ -220,7 +222,7 @@ class PPMv2(nn.Module):
         y = nn.BatchNorm(use_running_average=not train,
                          momentum=1.0 - self.bn_momentum, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(y)
-        y = nn.gelu(y)
+        y = tnn.gelu(y)
         y = pad2d(y, 1, 1, 1, 1, mode="edge")
         return nn.Conv(self.out_ch, (3, 3), padding="VALID", use_bias=True,
                        dtype=self.dtype, param_dtype=jnp.float32,

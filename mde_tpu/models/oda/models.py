@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from .encoder import ODASwinEncoder
 from .decoders import ODAConvDecoder, ODALunaDecoder
 from ..adabins.model import mViT
@@ -129,7 +131,7 @@ class ODALunaClsModel(_ODABase):
                          kernel_init=trunc_normal_init(0.02),
                          name=f"bin_regressor{i}")(y)
             if i < 2:
-                y = nn.gelu(y)
+                y = tnn.gelu(y)
         # torch F.elu(x, alpha=0.1): x>0 -> x ; else alpha*(exp(x)-1)
         widths = jnp.where(y > 0, y, 0.1 * (jnp.exp(jnp.minimum(y, 0.0)) - 1.0))
         widths = widths / widths.sum(axis=-1, keepdims=True)

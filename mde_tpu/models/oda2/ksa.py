@@ -20,6 +20,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.conv import ConvBN
 from ...ops.attention import WindowAttention
 from ...ops.mlp import SwinMLP
@@ -113,9 +115,9 @@ class KSABlock(nn.Module):
         # K-MSA
         xw = window_partition(xs, r)
         ew = window_partition(es, r)
-        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        xn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_kernel")(xw)
-        en = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        en = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_enc")(ew)
         kw = KernelWindowAttention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
@@ -127,7 +129,7 @@ class KSABlock(nn.Module):
             y = cyclic_unshift(y, self.shift_size)
 
         # FFN1
-        yn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        yn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_ff1")(y)
         yn = SwinMLP(hidden_features=int(c * self.mlp_ratio),
                      drop_prob=self.drop_prob, dtype=self.dtype,
@@ -137,7 +139,7 @@ class KSABlock(nn.Module):
         # W-MSA / SW-MSA
         ys = cyclic_shift(y, self.shift_size) if self.shift_size > 0 else y
         yw = window_partition(ys, r)
-        yn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        yn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_attn")(yw)
         aw = WindowAttention(
             num_heads=self.num_heads, window_size=r, qkv_bias=self.qkv_bias,
@@ -149,7 +151,7 @@ class KSABlock(nn.Module):
             y = cyclic_unshift(y, self.shift_size)
 
         # FFN2
-        yn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        yn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_ff2")(y)
         yn = SwinMLP(hidden_features=int(c * self.mlp_ratio),
                      drop_prob=self.drop_prob, dtype=self.dtype,

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.conv import ConvBN
 from ...ops.ppm import PyramidPoolingModule
 from ...ops.resize import resize_bilinear, upsample2d
@@ -67,7 +69,7 @@ class ODA2LunaLayer(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
             return out.reshape(b, -1, out_feat)
 
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype,
+        ln = lambda name: tnn.LayerNorm(dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
         drop = nn.Dropout(self.drop_prob, deterministic=not train)
 
@@ -85,7 +87,7 @@ class ODA2LunaLayer(nn.Module):
 
         # FF
         y = dense(d * 4, "ff0")(aux)
-        y = nn.gelu(y)
+        y = tnn.gelu(y)
         y = drop(y)
         y = dense(d, "ff1")(y)
         y = drop(y)
@@ -127,7 +129,7 @@ class ODA2LunaGating(nn.Module):
                          momentum=1.0 - self.bn_momentum, epsilon=self.bn_eps,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm_out")(y)
-        return nn.gelu(y), aux
+        return tnn.gelu(y), aux
 
 
 class ODA2LunaDecoder(nn.Module):
@@ -206,7 +208,7 @@ class ODA2LunaDecoder(nn.Module):
                            kernel_init=trunc_normal_init(0.02),
                            name=f"bins{i}")(wdt)
             if i < 2:
-                wdt = nn.gelu(wdt)
+                wdt = tnn.gelu(wdt)
         wdt = wdt[..., 0]  # (b, num_aux)
         wdt = jnp.where(wdt > 0, wdt,
                         0.1 * (jnp.exp(jnp.minimum(wdt, 0.0)) - 1.0)) + 0.1

@@ -17,6 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.conv import ConvBN
 from ...ops.mlp import PreNormFF
 from ...ops.resize import resize_bilinear
@@ -55,9 +57,9 @@ class _SplitLuna(nn.Module):
         hd = d // nh
         scale = hd ** -0.5
 
-        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        xn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm")(x).reshape(b, h * w, d)
-        an = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        an = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="aux_norm")(aux)
 
         def dense(name):

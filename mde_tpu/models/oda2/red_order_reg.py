@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.conv import ConvBN
 from ...ops.mlp import PreNormDWConvFF
 from ...ops.reduction import (
@@ -58,11 +60,11 @@ class OrderedReductionBlock(nn.Module):
         y = nn.Dense(d * 4, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init(0.02), name="de_ff0")(de)
         y = nn.Dropout(self.drop_prob, deterministic=not train)(y)
-        y = nn.gelu(y)
+        y = tnn.gelu(y)
         y = nn.Dense(d, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init(0.02), name="de_ff1")(y)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        y = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          scale_init=nn.initializers.constant(0.1),
                          name="de_norm")(y)
         x = x + y
@@ -84,7 +86,7 @@ class OrderedReductionBlock(nn.Module):
         x, attn2 = PreNormOrderedReductionSA(shift_size=0, name="sa2",
                                              **sa_kwargs)(x, y, train=train)
         x = PreNormDWConvFF(name="ff2", **ff_kwargs)(x, train=train)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm2")(x)
         return x, (attn1, attn2)
 
@@ -121,7 +123,7 @@ class _RedNeck(nn.Module):
         dec = nn.Dense(d, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32,
                        kernel_init=trunc_normal_init(0.02), name="dec_linear")(dec)
-        dec = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        dec = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                            name="dec_norm")(dec)
         return dec
 

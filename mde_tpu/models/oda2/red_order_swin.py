@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.conv import ConvBN
 from ...ops.mlp import PreNormFF
 from ...ops.ordered_attention import PreNormOrderedSwinSA
@@ -46,7 +48,7 @@ class Gen1OrderedSwinBlock(nn.Module):
         de = nn.Dense(d, use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32,
                       kernel_init=trunc_normal_init(0.02), name="de_proj")(de)
-        de = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        de = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="de_norm")(de)
         x = x + de
 
@@ -70,7 +72,7 @@ class Gen1OrderedSwinBlock(nn.Module):
         x = nn.Dense(d, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init(0.02), name="linear")(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm")(x)
         return x, (attn1, attn2)
 

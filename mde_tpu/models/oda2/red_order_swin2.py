@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ...ops.conv import ConvBN
 from ...ops.mlp import PreNormDWConvFF
 from ...ops.ordered_attention import PreNormOrderedSwinSA
@@ -73,7 +75,7 @@ class OrderedSwinBlock(nn.Module):
         c = x.shape[-1]
         x = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init(0.02), name="linear")(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         return x, (attn1, attn2)
 
 
@@ -251,7 +253,7 @@ class OrderedSwin2RegDecoder(nn.Module):
         dec = nn.Dense(dec_dim, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32,
                        kernel_init=trunc_normal_init(0.02), name="dec_linear")(dec)
-        dec = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        dec = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                            name="dec_norm")(dec)
 
         return OrderedSwinRegHead(

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops import tnn
+
 from ..ops.attention import WindowAttention
 from ..ops.mlp import SwinMLP
 from ..ops.drop import DropPath
@@ -52,7 +54,7 @@ class PatchEmbed(nn.Module):
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32, name="proj")(x)
         if self.out_norm:
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+            x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm")(x)
         return x
 
@@ -76,7 +78,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2, :]
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init(0.02), name="reduction")(x)
         return x
@@ -103,7 +105,7 @@ class SwinBlock(nn.Module):
         r = self.window_size
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
 
         x = pad_to_multiple(x, r, mode="edge")
         hp, wp = x.shape[1], x.shape[2]
@@ -130,7 +132,7 @@ class SwinBlock(nn.Module):
         x = shortcut + drop_path(x, deterministic=not train,
                                  rate=path_drop_rate)
 
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = SwinMLP(hidden_features=int(c * self.mlp_ratio),
                     drop_prob=self.drop_prob, dtype=self.dtype, name="mlp")(y, train=train)
         x = x + drop_path(y, deterministic=not train, rate=path_drop_rate)
@@ -299,7 +301,7 @@ class SwinTransformer(nn.Module):
                 x_out = jax.lax.stop_gradient(x_out)
             if i in self.out_indices:
                 if self.out_norms:
-                    x_out = nn.LayerNorm(dtype=self.dtype,
+                    x_out = tnn.LayerNorm(dtype=self.dtype,
                                          param_dtype=jnp.float32,
                                          name=f"norm{i}")(x_out)
                 outs.append(x_out)

@@ -19,6 +19,8 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from . import tnn
+
 from .pad import pad2d
 
 
@@ -28,7 +30,7 @@ class ConvBN(nn.Module):
     conv_groups: int = 1
     use_gn: bool = False
     gn_groups: int = 1
-    act: Optional[Callable] = nn.gelu
+    act: Optional[Callable] = tnn.gelu
     bn_momentum: float = 0.1  # torch convention; converted internally
     bn_eps: float = 1e-5
     padding_mode: str = "edge"  # torch 'replicate'

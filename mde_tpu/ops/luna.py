@@ -19,6 +19,8 @@ from typing import Callable, Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from . import tnn
+
 from .init import trunc_normal_init
 
 
@@ -67,7 +69,7 @@ class LunaBlock(_LunaCore):
         out1, attn1 = self._attend(q1, k1, v1, scale, train, d)
         out1 = self._dense(aux.shape[-1], "o1_proj")(out1)
         out1 = nn.Dropout(self.drop_prob, deterministic=not train)(out1)
-        aux_out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        aux_out = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                name="aux_norm")(aux + out1)
 
         # attn2: pixels attend over the UPDATED aux (pre-residual out1)
@@ -77,7 +79,7 @@ class LunaBlock(_LunaCore):
         out2, attn2 = self._attend(q2, k2, v2, scale, train, d)
         out2 = self._dense(d, "o2_proj")(out2)
         out2 = nn.Dropout(self.drop_prob, deterministic=not train)(out2)
-        out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        out = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                            name="norm")(hidden + out2)
 
         return out, aux_out, attn1, attn2
@@ -93,9 +95,9 @@ class PreNormLunaBlock(_LunaCore):
         nh = self.num_heads
         scale = (d // nh) ** -0.5
 
-        aux_n = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        aux_n = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="aux_norm")(aux)
-        hidden_n = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        hidden_n = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                 name="norm")(hidden)
 
         q1 = _heads(self._dense(self.qk_proj_dim, "q1_proj")(aux_n), nh)
@@ -106,7 +108,7 @@ class PreNormLunaBlock(_LunaCore):
         out1 = nn.Dropout(self.drop_prob, deterministic=not train)(out1)
         aux_out = aux + out1
 
-        out_n = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        out_n = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="inter_norm")(out1)
         q2 = _heads(self._dense(self.qk_proj_dim, "q2_proj")(hidden_n), nh)
         k2 = _heads(self._dense(self.qk_proj_dim, "k2_proj")(out_n), nh)
@@ -137,7 +139,7 @@ class LunaHalfBlock(_LunaCore):
         out1, attn1 = self._attend(q1, k1, v1, scale, train, d)
         out1 = self._dense(aux.shape[-1], "o1_proj")(out1)
         out1 = nn.Dropout(self.drop_prob, deterministic=not train)(out1)
-        aux_out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        aux_out = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                name="aux_norm")(aux + out1)
         return aux_out, attn1
 
@@ -152,7 +154,7 @@ class LunaLayer(nn.Module):
     feedforward_dim: Optional[int] = None
     attn_drop_prob: float = 0.0
     drop_prob: float = 0.1
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -7,6 +7,8 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from . import tnn
+
 from .init import trunc_normal_init
 from .depthwise import DepthwiseConv2d
 
@@ -29,7 +31,7 @@ class SwinMLP(nn.Module):
 
     hidden_features: int
     drop_prob: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -49,7 +51,7 @@ class PreNormFF(nn.Module):
 
     feedforward_dims: Optional[int] = None
     drop_prob: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,7 +59,7 @@ class PreNormFF(nn.Module):
         in_dims = x.shape[-1]
         hidden = self.feedforward_dims or 4 * in_dims
         identity = x
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = _dense(hidden, self.dtype, "lin1")(x)
         x = self.act(x)
         x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
@@ -78,7 +80,7 @@ class PreNormDWConvFF(nn.Module):
     feedforward_dims: Optional[int] = None
     kernel_size: int = 5
     drop_prob: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
@@ -90,7 +92,7 @@ class PreNormDWConvFF(nn.Module):
         hidden = self.feedforward_dims or 4 * in_dims
         identity = x
 
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = _dense(hidden * 2, self.dtype, "lin1")(x)
         # GLU over the channel dim: first half * sigmoid(second half)
         a, b = jnp.split(x, 2, axis=-1)

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from . import tnn
+
 from .init import trunc_normal_init
 from .window import window_partition, window_reverse, cyclic_shift, cyclic_unshift
 
@@ -98,7 +100,7 @@ class PreNormOrderedSwinSA(nn.Module):
         else:
             raise ValueError(f"Unsupported bias type {self.bias_type}.")
 
-        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(xw)
+        xn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(xw)
 
         def dense(name):
             return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,

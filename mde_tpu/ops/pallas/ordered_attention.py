@@ -128,7 +128,13 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
 def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
                               interpret: bool) -> jnp.ndarray:
     bw, n, c = q.shape
-    tb = _pick_tb(bw, None)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # 4 double-buffered IO blocks + f32 G + one-hots + scores/probs
+    per_window = (4 * n * c * itemsize * 2
+                  + (n * num_heads * num_emb * 4
+                     + 2 * n * num_emb * 4 if table is not None else 0)
+                  + 2 * n * n * 4)
+    tb = _pick_tb(bw, None, per_window)
     grid = (bw // tb,)
 
     def blk(shape):

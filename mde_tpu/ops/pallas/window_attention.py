@@ -26,11 +26,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tb(bw: int, nw: Optional[int]) -> int:
-    """Largest window-block size that divides BW (and nW when masked)."""
+def _pick_tb(bw: int, nw: Optional[int],
+             bytes_per_window: int = 0,
+             budget: int = 10 * 1024 * 1024) -> int:
+    """Largest window-block size that divides BW (and nW when masked) and
+    keeps the per-program VMEM footprint under ``budget`` (the hardware
+    scoped-vmem limit is 16 MB; block IO buffers are double-buffered by the
+    pipeline, which ``bytes_per_window`` estimates must account for)."""
     for tb in (16, 8, 4, 2, 1):
-        if bw % tb == 0 and (nw is None or nw % tb == 0):
-            return tb
+        if bw % tb != 0 or (nw is not None and nw % tb != 0):
+            continue
+        if bytes_per_window and tb * bytes_per_window > budget and tb > 1:
+            continue
+        return tb
     return 1
 
 
@@ -100,7 +108,12 @@ def _pallas_window_attention(q, k, v, bias, mask, num_heads, scale,
                              interpret: bool) -> jnp.ndarray:
     bw, n, c = q.shape
     nw = mask.shape[0] if mask is not None else None
-    tb = _pick_tb(bw, nw)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # 4 double-buffered IO blocks + f32 scores/probs + mask block
+    per_window = (4 * n * c * itemsize * 2
+                  + 2 * n * n * 4
+                  + (n * n * 4 * 2 if mask is not None else 0))
+    tb = _pick_tb(bw, nw, per_window)
     grid = (bw // tb,)
 
     def qkv_spec():

@@ -12,6 +12,8 @@ from typing import Optional, Tuple, Callable
 import jax.numpy as jnp
 import flax.linen as nn
 
+from . import tnn
+
 from .resize import adaptive_avg_pool2d, resize_bilinear
 from .pad import pad2d
 
@@ -20,7 +22,7 @@ class PyramidPoolingModule(nn.Module):
     proj_ch: int
     out_ch: int
     spatial_sizes: Tuple[int, ...] = (1, 2, 3, 6)
-    act: Callable = nn.gelu
+    act: Callable = tnn.gelu
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32

@@ -14,6 +14,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from . import tnn
+
 from .init import trunc_normal_init
 from .window import cyclic_shift
 
@@ -72,14 +74,14 @@ class PreNormOrderedReductionSA(nn.Module):
                             param_dtype=jnp.float32,
                             kernel_init=trunc_normal_init(0.02), name=name)
 
-        x_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x_norm = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                               name="norm")(x)
         q = dense("q_proj")(x_norm).reshape(b, h * w, nh, hd)
 
         xs = cyclic_shift(x, self.shift_size) if self.shift_size > 0 else x
         x_red = block_mean(xs, r)
         x_red = dense("mean_proj", bias=False)(x_red)
-        x_red = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        x_red = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="mean_norm")(x_red)
         n_red = x_red.shape[1] * x_red.shape[2]
         k = dense("k_proj")(x_red).reshape(b, n_red, nh, hd)
