@@ -170,6 +170,53 @@ def _conv(acc: KeyAccountant, prefix: str, bias: bool = True) -> Dict[str, np.nd
     return out
 
 
+def _stack_trees(trees: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack a list of identical pytrees along a new leading axis."""
+    out: Dict[str, Any] = {}
+    for k, v in trees[0].items():
+        if isinstance(v, dict):
+            out[k] = _stack_trees([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees], axis=0)
+    return out
+
+
+def _swin_block_params(acc: KeyAccountant, p: str, qk_only: bool = False,
+                       target_window: Optional[int] = None) -> Dict[str, Any]:
+    table = acc.take(f"{p}.attn.relative_position_bias_table")
+    if target_window is not None:
+        table = interpolate_rel_pos_bias(table, target_window)
+    attn: Dict[str, Any] = {"relative_position_bias_table": table,
+                            "proj": _dense(acc, f"{p}.attn.proj")}
+    if qk_only:
+        attn["qk"] = _dense(acc, f"{p}.attn.qk")
+    else:
+        attn["qkv"] = _dense(acc, f"{p}.attn.qkv")
+    return {
+        "norm1": _ln(acc, f"{p}.norm1"),
+        "attn": attn,
+        "norm2": _ln(acc, f"{p}.norm2"),
+        "mlp": {"fc1": _dense(acc, f"{p}.mlp.fc1"),
+                "fc2": _dense(acc, f"{p}.mlp.fc2")},
+    }
+
+
+def _stage_blocks(acc: KeyAccountant, stage_prefix: str, depth: int,
+                  qk_only: bool = False,
+                  target_window: Optional[int] = None) -> Dict[str, Any]:
+    """Convert one Swin stage's blocks, matching ``SwinStage``'s layout:
+    even depths are nn.scan'ed over [W-MSA | SW-MSA] pairs (params stacked
+    along a leading n_pairs axis under blocks/blk{0,1}); odd depths stay
+    unrolled as blocks{j} (``models/swin.py:191-232``)."""
+    blocks = [_swin_block_params(acc, f"{stage_prefix}.blocks.{j}",
+                                 qk_only=qk_only, target_window=target_window)
+              for j in range(depth)]
+    if depth % 2 == 0 and depth >= 2:
+        return {"blocks": {"blk0": _stack_trees(blocks[0::2]),
+                           "blk1": _stack_trees(blocks[1::2])}}
+    return {f"blocks{j}": b for j, b in enumerate(blocks)}
+
+
 def convert_swin_backbone(torch_state: Dict[str, np.ndarray],
                           depths: Tuple[int, ...] = (2, 2, 18, 2),
                           out_indices: Tuple[int, ...] = (0, 1, 2, 3),
@@ -195,24 +242,8 @@ def convert_swin_backbone(torch_state: Dict[str, np.ndarray],
     num_layers = len(depths)
     for i in range(num_layers):
         stage: Dict[str, Any] = {}
-        for j in range(depths[i]):
-            p = f"layers.{i}.blocks.{j}"
-            table = acc.take(f"{p}.attn.relative_position_bias_table")
-            if target_window is not None:
-                table = interpolate_rel_pos_bias(table, target_window)
-            stage[f"blocks{j}"] = {
-                "norm1": _ln(acc, f"{p}.norm1"),
-                "attn": {
-                    "relative_position_bias_table": table,
-                    "qkv": _dense(acc, f"{p}.attn.qkv"),
-                    "proj": _dense(acc, f"{p}.attn.proj"),
-                },
-                "norm2": _ln(acc, f"{p}.norm2"),
-                "mlp": {
-                    "fc1": _dense(acc, f"{p}.mlp.fc1"),
-                    "fc2": _dense(acc, f"{p}.mlp.fc2"),
-                },
-            }
+        stage.update(_stage_blocks(acc, f"layers.{i}", depths[i],
+                                   target_window=target_window))
         if i < num_layers - 1:
             stage["downsample"] = {
                 "norm": _ln(acc, f"layers.{i}.downsample.norm"),
@@ -414,6 +445,98 @@ def convert_adabins_model(torch_state: Dict[str, np.ndarray],
     params["adaptive_bins_layer"] = abl
 
     params["conv_out"] = _conv(acc, "conv_out")
+
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# NewCRFs released-checkpoint converter
+# ---------------------------------------------------------------------------
+
+_NEWCRFS_DEPTHS = {"tiny": (2, 2, 6, 2), "base": (2, 2, 18, 2),
+                   "large": (2, 2, 18, 2)}
+
+
+def convert_newcrfs_model(torch_state: Dict[str, np.ndarray],
+                          version: str = "large07") -> Dict[str, Any]:
+    """Released NewCRFs weights (model_swin*_*.ckpt, DDP prefix already
+    stripped by ``load_torch_state_dict``) -> our ``NewCRFDepth`` variables.
+
+    Replaces ``checkpoint/newcrfs_checkpoint_rename.py`` + the tolerant
+    ``newcrf_utils.load_checkpoint`` (``:194-264``), with strict accounting
+    instead of silent mismatches; rel-pos tables are bicubic-interpolated to
+    the target window like ``newcrf_utils.py:245-260``. ``proj_x``/``proj_v``
+    existence is keyed off the checkpoint itself (they are only created when
+    dims differ, ``newcrf_layers.py:382-392``).
+    """
+    depths = _NEWCRFS_DEPTHS[version[:-2]]
+    window = int(version[-2:])
+    acc = KeyAccountant(torch_state)
+    acc.skip(r"relative_position_index")
+    acc.skip(r"attn_mask")
+    acc.skip(r"relative_coords_table")
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ---- Swin backbone (padding variant keeps its trained out-norms) ----
+    bb: Dict[str, Any] = {
+        "patch_embed": {"proj": _conv(acc, "backbone.patch_embed.proj"),
+                        "norm": _ln(acc, "backbone.patch_embed.norm")},
+    }
+    for i, d in enumerate(depths):
+        stage: Dict[str, Any] = {}
+        stage.update(_stage_blocks(acc, f"backbone.layers.{i}", d,
+                                   target_window=window))
+        if i < len(depths) - 1:
+            stage["downsample"] = {
+                "norm": _ln(acc, f"backbone.layers.{i}.downsample.norm"),
+                "reduction": _dense(
+                    acc, f"backbone.layers.{i}.downsample.reduction",
+                    bias=False),
+            }
+        bb[f"layers{i}"] = stage
+    for i in range(len(depths)):
+        bb[f"norm{i}"] = _ln(acc, f"backbone.norm{i}")
+    params["backbone"] = bb
+
+    # ---- PSP decoder (mmcv ConvModule naming: .conv / .bn / .gn) ----
+    dec: Dict[str, Any] = {}
+    dec_s: Dict[str, Any] = {}
+    for i in range(4):
+        pp = f"decoder.psp_modules.{i}.1"
+        dec[f"pool{i}_conv"] = _conv(acc, f"{pp}.conv", bias=False)
+        if f"{pp}.gn.weight" in acc.state:
+            dec[f"pool{i}_gn"] = {"scale": acc.take(f"{pp}.gn.weight"),
+                                  "bias": acc.take(f"{pp}.gn.bias")}
+        else:
+            bnp, bns = _bn_pair(acc, f"{pp}.bn")
+            dec[f"pool{i}_bn"] = bnp["bn"]
+            dec_s[f"pool{i}_bn"] = bns["bn"]
+    dec["bottleneck_conv"] = _conv(acc, "decoder.bottleneck.conv", bias=False)
+    bnp, bns = _bn_pair(acc, "decoder.bottleneck.bn")
+    dec["bottleneck_bn"] = bnp["bn"]
+    dec_s["bottleneck_bn"] = bns["bn"]
+    params["decoder"] = dec
+    stats["decoder"] = dec_s
+
+    # ---- cascaded NewCRF stages ----
+    for k in range(4):
+        cp = f"crf{k}"
+        crf: Dict[str, Any] = {}
+        if f"{cp}.proj_x.weight" in acc.state:
+            crf["proj_x"] = _conv(acc, f"{cp}.proj_x")
+        if f"{cp}.proj_v.weight" in acc.state:
+            crf["proj_v"] = _conv(acc, f"{cp}.proj_v")
+        for j in range(2):  # BasicCRFLayer depth=2 (newcrf_layers.py:399)
+            crf[f"blocks{j}"] = _swin_block_params(
+                acc, f"{cp}.crf_layer.blocks.{j}", qk_only=True,
+                target_window=window)
+        crf["norm_crf"] = _ln(acc, f"{cp}.norm_crf")
+        params[cp] = crf
+
+    params["disp_head1_conv"] = _conv(acc, "disp_head1.conv1")
 
     acc.assert_exhausted()
     return {"params": params, "batch_stats": stats}

@@ -1,0 +1,145 @@
+"""Fused depthwise 2-D convolution (replicate padding) — Pallas TPU kernel.
+
+The DWConv-GLU feed-forwards run a 5x5 depthwise conv over (B, 112, 224,
+2048) bf16 activations (reference ``oda2_red_order_reg_decoder.py:43-93``).
+Both obvious lowerings are badly memory-bound in practice: the shift-FMA
+formulation makes XLA re-read the padded tensor once per tap (25 HBM passes,
+~18 ms at bench shapes) and ``feature_group_count=C`` convs still cost ~9 ms.
+The op only *needs* one read + one write (~0.4 GB, well under 1 ms at HBM
+speed).
+
+Kernel layout: the input is replicate-padded once in XLA (cheap fused copy),
+then the kernel grids over (batch, H-tiles, channel-128-lanes). Mosaic
+block shapes cannot overlap, so each program reads its own H-tile plus the
+*next* tile and assembles the (TH + kh - 1)-row working set in VMEM — the
+standard halo-exchange-by-adjacent-block trick; all k*k taps are then
+in-VMEM FMAs. HBM traffic ≈ 2 reads + 1 write of x (vs 25+ for shift-FMA).
+
+Gradients: ``custom_vjp`` whose backward recomputes via the XLA shift-FMA
+path (same math, exact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def xla_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
+                         padding_mode: str = "edge") -> jnp.ndarray:
+    """Shift-FMA reference path (and the custom-vjp backward).
+    x: (B, H, W, C); w: (kh, kw, C); 'same' output size."""
+    from ..pad import pad2d
+    kh, kw, c = w.shape
+    h, wd = x.shape[1], x.shape[2]
+    xp = pad2d(x, kh // 2, kh // 2, kw // 2, kw // 2, mode=padding_mode)
+    out = jnp.zeros_like(x)
+    for i in range(kh):
+        for j in range(kw):
+            out = out + xp[:, i:i + h, j:j + wd, :] * w[i, j]
+    return out
+
+
+def _plan(h: int, w: int, c: int, kh: int, kw: int, itemsize: int):
+    """-> (TH, TC): H-tile and channel-tile sizes.
+
+    TC is 128 (the lane width) or full C when C < 128. TH divides H, is at
+    least the halo (kh-1), and keeps cur+next+out blocks (double-buffered)
+    plus the assembled working set and f32 accumulator within VMEM budget.
+    """
+    tc = c if c < 128 else 128
+    budget = 11 * 1024 * 1024
+    wp = w + kw - 1
+    best = None
+    for th in range(h, 0, -1):
+        if h % th or th < kh - 1:
+            continue
+        io = (2 * th * wp + th * w) * tc * itemsize * 2   # cur+next+out, x2 buf
+        work = (th + kh - 1) * wp * tc * itemsize + th * w * tc * 4
+        if io + work <= budget:
+            best = (th, tc)
+            break
+    if best is None:
+        best = (min(h, max(kh - 1, 1)), tc)
+    return best
+
+
+def _kernel(kh: int, kw: int, th: int, w_out: int, cur_ref, nxt_ref, w_ref,
+            o_ref):
+    halo = kh - 1
+    x = jnp.concatenate([cur_ref[0], nxt_ref[0][:halo]], axis=0) \
+        if halo else cur_ref[0]                    # (TH + kh - 1, W + kw - 1, TC)
+    acc = jnp.zeros((th, w_out) + x.shape[2:], jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            tap = x[i:i + th, j:j + w_out, :]
+            acc = acc + tap.astype(jnp.float32) * w_ref[i, j].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _pallas_depthwise(x, w, interpret: bool) -> jnp.ndarray:
+    from ..pad import pad2d
+    b, h, wd, c = x.shape
+    kh, kw, _ = w.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    th, tc = _plan(h, wd, c, kh, kw, itemsize)
+    nh = h // th
+
+    # replicate-pad W and top in XLA; pad H's bottom out to one EXTRA tile so
+    # the kernel's "next block" read is always in bounds (rows beyond the
+    # kh-1 halo are never used)
+    xp = pad2d(x, kh // 2, kh // 2, kw // 2, kw // 2, mode="edge")
+    h_pad = (nh + 1) * th
+    xp = jnp.pad(xp, ((0, 0), (0, h_pad - xp.shape[1]), (0, 0), (0, 0)))
+    wp = wd + kw - 1
+
+    grid = (b, nh, c // tc)
+    return pl.pallas_call(
+        functools.partial(_kernel, kh, kw, th, wd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, wp, tc), lambda bi, hi, ci: (bi, hi, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wp, tc),
+                         lambda bi, hi, ci: (bi, hi + 1, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, kw, tc), lambda bi, hi, ci: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wd, tc),
+                               lambda bi, hi, ci: (bi, hi, 0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(xp, xp, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused(x, w, interpret):
+    return _pallas_depthwise(x, w, interpret)
+
+
+def _fused_fwd(x, w, interpret):
+    return _pallas_depthwise(x, w, interpret), (x, w)
+
+
+def _fused_bwd(interpret, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x_, w_: xla_depthwise_conv2d(x_, w_), x, w)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
+                           padding_mode: str = "edge",
+                           impl: str = "pallas") -> jnp.ndarray:
+    """Depthwise 'same' conv, replicate padding. x: (B,H,W,C); w: (kh,kw,C)."""
+    if impl == "xla" or padding_mode != "edge":
+        return xla_depthwise_conv2d(x, w, padding_mode)
+    return _fused(x, w, impl == "pallas_interpret")

@@ -118,3 +118,38 @@ def test_orbax_roundtrip(tmp_path):
         np.asarray(restored["state"]["params"]["w"]),
         np.asarray(state["params"]["w"]))
     assert restored["meta"]["best_value"] == pytest.approx(0.123)
+
+
+def test_swin_backbone_converter_scanned_even_depths():
+    """Even-depth stages must produce the nn.scan pair layout (leading
+    n_pairs axis under blocks/blk{0,1}) that SwinTransformer actually uses
+    for Swin-B/L (depths 2,2,18,2) — models/swin.py:191-213."""
+    import jax
+    import jax.numpy as jnp
+    from mde_tpu.core.checkpoint import convert_swin_backbone, tree_shapes_match
+    from mde_tpu.models.swin import SwinTransformer
+    from tests.test_converters import _fake_swin_block, _conv_t, _ln_t, _dense_t
+
+    depths, heads, dim = (2, 4), (2, 4), 16
+    sd = {}
+    _conv_t(sd, "patch_embed.proj", dim, 3, 4)
+    _ln_t(sd, "patch_embed.norm", dim)
+    for i, (d, h) in enumerate(zip(depths, heads)):
+        for j in range(d):
+            _fake_swin_block(sd, f"layers.{i}.blocks.{j}", dim * 2 ** i, h,
+                             window=4)
+        if i < len(depths) - 1:
+            _ln_t(sd, f"layers.{i}.downsample.norm", 4 * dim * 2 ** i)
+            _dense_t(sd, f"layers.{i}.downsample.reduction",
+                     2 * dim * 2 ** i, 4 * dim * 2 ** i, bias=False)
+
+    params = convert_swin_backbone(sd, depths=depths, out_indices=(0, 1))
+
+    model = SwinTransformer(embed_dim=dim, depths=depths, num_heads=heads,
+                            window_size=4, out_indices=(0, 1),
+                            use_checkpoint=False)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    target = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, train=False))
+    mism = tree_shapes_match({"params": params}, target)
+    assert mism == [], "\n".join(mism[:20])

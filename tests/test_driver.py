@@ -76,3 +76,19 @@ def test_driver_main_eval_only(tmp_path):
         M.build_model = orig
         drv.build_model = orig
     assert np.isfinite(metrics["abs_rel"])
+
+
+def test_profiling_utils(tmp_path):
+    from mde_tpu.utils.profiling import trace, StepTimer, device_memory_stats
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path / "trace")):
+        x = jnp.ones((4, 4)) * 2
+
+    t = StepTimer()
+    t.start()
+    ms = t.stop(sync_on=x)
+    assert ms >= 0 and t.ema_ms is not None
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)

@@ -149,3 +149,34 @@ def test_ordered_module_impl_parity():
     out, _ = mod2.apply(params, x, idx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((2, 16, 24, 8), 5),
+    ((1, 9, 13, 16), 3),
+])
+def test_depthwise_kernel_parity(shape, k):
+    from mde_tpu.ops.pallas.depthwise import (
+        fused_depthwise_conv2d, xla_depthwise_conv2d)
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, k, shape[-1]), jnp.float32)
+    ref = xla_depthwise_conv2d(x, w)
+    out = fused_depthwise_conv2d(x, w, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_kernel_grad():
+    from mde_tpu.ops.pallas.depthwise import (
+        fused_depthwise_conv2d, xla_depthwise_conv2d)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 8), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 8), jnp.float32)
+
+    gf = jax.grad(lambda x, w: jnp.sum(
+        fused_depthwise_conv2d(x, w, impl="pallas_interpret") ** 2),
+        argnums=(0, 1))(x, w)
+    gr = jax.grad(lambda x, w: jnp.sum(xla_depthwise_conv2d(x, w) ** 2),
+                  argnums=(0, 1))(x, w)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
