@@ -59,3 +59,27 @@ def test_parse_dumps_option(tmp_path):
     assert (tmp_path / "out" / "option.json").exists()
     assert opt.model.neck_type == "red33"
     assert opt.num_devices == 4
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_JSON), reason="reference not mounted")
+def test_every_reference_config_builds_a_model():
+    """build_model must accept EVERY config in the corpus — the full §5.6
+    name space with each config's exact per-family arguments."""
+    from mde_tpu.models import build_model
+
+    paths = sorted(glob.glob(os.path.join(REF_JSON, "**", "*.json"),
+                             recursive=True))
+    built = 0
+    for p in paths:
+        with open(p) as f:
+            raw = json.load(f)
+        opt = load_config(raw)
+        if "name" not in opt.model:
+            continue
+        dt = opt.dataset.data_type
+        min_d = 0.001
+        max_d = {"KITTI": 80.0, "NYU": 10.0, "ONLINE": 88.0}[dt]
+        model = build_model(opt, min_d, max_d)
+        assert model is not None, p
+        built += 1
+    assert built >= 70
