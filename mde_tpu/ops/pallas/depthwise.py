@@ -54,30 +54,39 @@ def _plan(h: int, w: int, c: int, kh: int, kw: int, itemsize: int):
     tc = c if c < 128 else 128
     budget = 11 * 1024 * 1024
     wp = w + kw - 1
-    best = None
-    for th in range(h, 0, -1):
-        if h % th or th < kh - 1:
-            continue
-        io = (2 * th * wp + th * w) * tc * itemsize * 2   # cur+next+out, x2 buf
-        work = (th + kh - 1) * wp * tc * itemsize + th * w * tc * 4
+    hb = max(kh - 1, 1)
+    top = -(-h // hb) * hb  # roundup(h, hb); th need not divide h (output
+    #                         rows beyond h are computed on zero-pad, sliced off)
+    for th in range(top, 0, -hb):
+        io = ((th + hb) * wp + th * w) * tc * itemsize * 2  # cur+halo+out, x2 buf
+        # working copies in the input dtype: tap partials + accumulator
+        work = ((th + hb) * wp + th * w) * tc * itemsize
         if io + work <= budget:
-            best = (th, tc)
-            break
-    if best is None:
-        best = (min(h, max(kh - 1, 1)), tc)
-    return best
+            return th, tc
+    return hb, tc
 
 
 def _kernel(kh: int, kw: int, th: int, w_out: int, cur_ref, nxt_ref, w_ref,
             o_ref):
     halo = kh - 1
-    x = jnp.concatenate([cur_ref[0], nxt_ref[0][:halo]], axis=0) \
+    x = jnp.concatenate([cur_ref[0], nxt_ref[0]], axis=0) \
         if halo else cur_ref[0]                    # (TH + kh - 1, W + kw - 1, TC)
-    acc = jnp.zeros((th, w_out) + x.shape[2:], jnp.float32)
-    for i in range(kh):
-        for j in range(kw):
-            tap = x[i:i + th, j:j + w_out, :]
-            acc = acc + tap.astype(jnp.float32) * w_ref[i, j].astype(jnp.float32)
+    # Loop order matters for Mosaic: H-offset slices move only the OUTER dim
+    # (free), while W-offset slices shift the sublane dim (a relayout of the
+    # whole tile). Accumulate all kh H-taps at full padded width per column
+    # offset j, then take ONE shifted W-slice — kw relayouts total instead of
+    # kh*kw (measured ~2x on v5e for 5x5 at (4,112,224,2048)).
+    # accumulate in the INPUT dtype — the XLA shift-FMA path does the same
+    # (out = zeros_like(x)), so this matches the parity path bit-for-bit in
+    # f32 and to input precision in bf16, at half the VPU/relayout cost
+    dt = x.dtype
+    w_all = w_ref[...].astype(dt)
+    acc = jnp.zeros((th, w_out) + x.shape[2:], dt)
+    for j in range(kw):
+        t = jnp.zeros((th,) + x.shape[1:], dt)
+        for i in range(kh):
+            t = t + x[i:i + th] * w_all[i, j]
+        acc = acc + t[:, j:j + w_out, :]
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -87,7 +96,7 @@ def _pallas_depthwise(x, w, interpret: bool) -> jnp.ndarray:
     kh, kw, _ = w.shape
     itemsize = jnp.dtype(x.dtype).itemsize
     th, tc = _plan(h, wd, c, kh, kw, itemsize)
-    nh = h // th
+    nh = -(-h // th)
 
     # replicate-pad W and top in XLA; pad H's bottom out to one EXTRA tile so
     # the kernel's "next block" read is always in bounds (rows beyond the
@@ -97,6 +106,10 @@ def _pallas_depthwise(x, w, interpret: bool) -> jnp.ndarray:
     xp = jnp.pad(xp, ((0, 0), (0, h_pad - xp.shape[1]), (0, 0), (0, 0)))
     wp = wd + kw - 1
 
+    halo = kh - 1
+    hb = max(halo, 1)
+    pairs = th // hb  # next-halo spec reads only halo rows: block index in
+    #                   hb-row units so the (hi+1)*th element offset is exact
     grid = (b, nh, c // tc)
     return pl.pallas_call(
         functools.partial(_kernel, kh, kw, th, wd),
@@ -104,8 +117,8 @@ def _pallas_depthwise(x, w, interpret: bool) -> jnp.ndarray:
         in_specs=[
             pl.BlockSpec((1, th, wp, tc), lambda bi, hi, ci: (bi, hi, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, wp, tc),
-                         lambda bi, hi, ci: (bi, hi + 1, 0, ci),
+            pl.BlockSpec((1, hb, wp, tc),
+                         lambda bi, hi, ci: (bi, (hi + 1) * pairs, 0, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kh, kw, tc), lambda bi, hi, ci: (0, 0, ci),
                          memory_space=pltpu.VMEM),
@@ -113,9 +126,9 @@ def _pallas_depthwise(x, w, interpret: bool) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, th, wd, tc),
                                lambda bi, hi, ci: (bi, hi, 0, ci),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nh * th, wd, c), x.dtype),
         interpret=interpret,
-    )(xp, xp, w)
+    )(xp, xp, w)[:, :h]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

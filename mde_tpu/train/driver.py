@@ -163,6 +163,62 @@ class Trainer:
                 averages.update({k: float(v) for k, v in m.items()})
         return averages.get_value()
 
+    def predict(self, out_dir: str, mode: Optional[str] = None,
+                visualize: bool = False) -> int:
+        """Run inference over the eval (or ONLINE benchmark) split and write
+        uint16 PNG depth maps in the KITTI submission encoding (depth*256),
+        mirroring each sample's relative path — the missing run.py's
+        benchmark-mode output (SURVEY.md §2.1 ONLINE; dummy-GT split).
+        Returns the number of files written."""
+        import numpy as np
+        from PIL import Image
+        from ..data.dataset import DepthDataset
+        from ..data.loader import DataLoader as _DL
+        from ..data.splits import parse_split_line
+        from ..ops.resize import resize_bilinear
+
+        ds_opt = self.opt["dataset"]
+        data_type = ds_opt["data_type"]
+        mode = mode or ("benchmark" if data_type.upper() == "ONLINE" else "test")
+        ds = DepthDataset(ds_opt.get("data_path", ""), data_type, mode)
+        loader = _DL(ds, batch_size=1, shuffle=False, num_workers=2,
+                     drop_last=False, device_augment=False)
+
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+
+        @jax.jit
+        def fwd(v, images):
+            out = self.model.apply(v, images, train=False)
+            pred = out[0] if isinstance(out, tuple) else out
+            return pred
+
+        os.makedirs(out_dir, exist_ok=True)
+        written = 0
+        for i, batch in enumerate(loader.epoch(0)):
+            pred = fwd(variables, batch["image"])
+            if pred.shape[1:3] != batch["image"].shape[1:3]:
+                pred = resize_bilinear(pred, batch["image"].shape[1:3],
+                                       align_corners=True)
+            arr = np.asarray(jax.device_get(pred))[0, ..., 0]
+            arr = np.clip(arr, 0.0, None)
+            if ds.synthetic:
+                rel = f"{ds.filenames[i]}.png"
+            else:
+                rel = parse_split_line(ds.filenames[i], data_type)[0]
+                rel = os.path.splitext(rel)[0] + ".png"
+            path = os.path.join(out_dir, rel)
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            Image.fromarray((arr * 256.0).astype(np.uint16),
+                            mode="I;16").save(path)
+            if visualize:
+                from ..utils.visualize import colorize
+                Image.fromarray(colorize(arr, 0.0, ds.max_depth)).save(
+                    os.path.splitext(path)[0] + "_vis.png")
+            written += 1
+        dprint(f"wrote {written} predictions to {out_dir}")
+        return written
+
     def fit(self, max_steps: Optional[int] = None) -> dict:
         """Full training loop. Returns final validation metrics."""
         if self.state is None:
@@ -232,12 +288,17 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (f32 params)")
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--predict", metavar="DIR", default=None,
+                   help="write uint16 PNG predictions (KITTI submission "
+                        "format) for the eval/benchmark split and exit")
     args = p.parse_args(argv)
 
     opt = parse(args.opt)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     trainer = Trainer(opt, dtype=dtype)
     trainer.init_state()
+    if args.predict:
+        return trainer.predict(args.predict)
     if args.eval_only:
         metrics = trainer.validate()
         dprint(f"[eval] {metrics}")

@@ -92,3 +92,36 @@ def test_profiling_utils(tmp_path):
 
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_predict_writes_submission_pngs(tmp_path):
+    """ONLINE benchmark predict mode: uint16 KITTI-submission PNGs."""
+    import numpy as np
+    from PIL import Image
+    from mde_tpu.core.config import load_config
+    from mde_tpu.train.driver import Trainer
+
+    opt = load_config({
+        "model": {"name": "oda2_conv", "decoder_channels": 8,
+                  "encoder_type": "custom"},
+        "dataset": {"data_type": "ONLINE", "data_path": ""},
+        "dataloader": {"batch_size": 1, "num_workers": 1},
+        "optimizer": {"lr": 1e-4, "weight_decay": 0.1},
+        "train": {"epoch": 1},
+    })
+    trainer = Trainer(opt, model_overrides=dict(
+        resize_to_multiple=False,
+        encoder_kwargs=dict(embed_dim=8, depths=(1, 1, 1, 1),
+                            num_heads=(1, 2, 4, 8),
+                            window_size=4, use_checkpoint=False)))
+    trainer.init_state()
+    # synthetic dataset: limit to a couple of samples for speed
+    out = tmp_path / "preds"
+    n = trainer.predict(str(out))
+    assert n > 0
+    pngs = list(out.rglob("*.png"))
+    assert len(pngs) == n
+    img = Image.open(pngs[0])
+    arr = np.asarray(img)
+    assert arr.dtype in (np.uint16, np.int32)  # PIL I;16 loads as uint16/int32
+    assert arr.ndim == 2
