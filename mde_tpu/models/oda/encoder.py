@@ -8,8 +8,8 @@ outputs WITHOUT per-stage norms (the timm model's final norm/head are
 deleted, ``encoder.py:70-73``).
 
 TPU-native: the reference rebuilds attention masks on resolution change
-(``reset_resolution``); here masks are trace-time constants so arbitrary
-static shapes just work.
+(``reset_resolution``); here masks are derived from iota under jit per static
+shape, so arbitrary static shapes just work.
 """
 
 from __future__ import annotations

@@ -11,7 +11,7 @@ support. Loads Microsoft Swin-B/L ImageNet-22k checkpoints via the converter in
 TPU-first departures from the reference:
 * NHWC end-to-end; tokens never flattened to (B, N, C) — windows are folded
   into the batch dim with static reshapes.
-* SW-MSA masks are trace-time numpy constants (no per-forward device mask
+* SW-MSA masks are iota-derived under jit, fused by XLA (no big literals,
   construction as in the reference ``:409-432``).
 * bf16 activations / f32 params via the ``dtype`` field.
 * rematerialization via ``nn.remat`` per block (reference: torch checkpoint

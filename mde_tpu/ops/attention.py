@@ -4,7 +4,9 @@ Window attention follows the reference semantics
 (``model/ODA2/oda2_swin_transformer.py:95-183``) but is laid out TPU-first:
 windows ride in the batch dimension as static shapes, QK^T/PV are batched
 einsums on the MXU, the relative-position index is a trace-time numpy constant
-and the SW-MSA mask (when present) is a compile-time constant broadcast.
+and the SW-MSA mask (when present) is built on device from iota (static
+shapes, no embedded literal). On TPU the whole attention body runs as the
+fused Pallas kernel (``ops/pallas/window_attention.py``).
 """
 
 from __future__ import annotations

@@ -8,15 +8,16 @@ formulation makes XLA re-read the padded tensor once per tap (25 HBM passes,
 The op only *needs* one read + one write (~0.4 GB, well under 1 ms at HBM
 speed).
 
-Kernel layout: the input is replicate-padded once in XLA (cheap fused copy),
-then the kernel grids over (batch, H-tiles, channel-128-lanes). Mosaic
-block shapes cannot overlap, so each program reads its own H-tile plus the
-*next* tile and assembles the (TH + kh - 1)-row working set in VMEM — the
-standard halo-exchange-by-adjacent-block trick; all k*k taps are then
-in-VMEM FMAs. HBM traffic ≈ 2 reads + 1 write of x (vs 25+ for shift-FMA).
+Current TPU dispatch: the **native grouped conv** (see
+``native_depthwise_conv2d``) — fastest measured lowering. The hand-written
+halo kernel below (grid over batch/H-tiles/channel-lanes, next-block halo,
+kw-only sublane relayouts) is kept behind ``impl='pallas_kernel'``: its best
+variant measured 10.6 ms vs 8.8 ms native at bench shapes, still 10x off the
+HBM bound, so there is headroom for a future revision (candidates: fuse the
+GLU gate and BN/GELU epilogue, avoid the XLA-side pad materialization).
 
-Gradients: ``custom_vjp`` whose backward recomputes via the XLA shift-FMA
-path (same math, exact).
+Gradients: kernel path uses ``custom_vjp`` whose backward recomputes via the
+XLA shift-FMA path (same math, exact); the native path has a native VJP.
 """
 
 from __future__ import annotations
@@ -52,15 +53,19 @@ def _plan(h: int, w: int, c: int, kh: int, kw: int, itemsize: int):
     plus the assembled working set and f32 accumulator within VMEM budget.
     """
     tc = c if c < 128 else 128
-    budget = 11 * 1024 * 1024
+    # 16 MB scoped limit; the estimate below runs ~30% under Mosaic's real
+    # stack allocation (measured: est 13 MB -> 16.9 MB actual), so budget
+    # conservatively
+    budget = int(9.5 * 1024 * 1024)
     wp = w + kw - 1
     hb = max(kh - 1, 1)
     top = -(-h // hb) * hb  # roundup(h, hb); th need not divide h (output
     #                         rows beyond h are computed on zero-pad, sliced off)
     for th in range(top, 0, -hb):
         io = ((th + hb) * wp + th * w) * tc * itemsize * 2  # cur+halo+out, x2 buf
-        # working copies in the input dtype: tap partials + accumulator
-        work = ((th + hb) * wp + th * w) * tc * itemsize
+        # kernel stack (input dtype): concat x + tap partial t + acc + a
+        # shifted-slice temp — Mosaic keeps ~4 tiles live
+        work = ((th + hb) * wp + th * wp + 2 * th * w) * tc * itemsize
         if io + work <= budget:
             return th, tc
     return hb, tc
@@ -149,10 +154,33 @@ def _fused_bwd(interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def native_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
+                            padding_mode: str = "edge") -> jnp.ndarray:
+    """XLA ``feature_group_count=C`` grouped conv after an explicit
+    replicate pad. Empirically the fastest depthwise lowering on v5e at the
+    flagship FF shapes (8.8 ms vs 10.6 ms for the best Pallas variant and
+    17.9 ms for shift-FMA at (4,112,224,2048) 5x5 bf16); its VJP is native.
+    Do NOT use on XLA:CPU (pathological grouped-conv compiles)."""
+    from ..pad import pad2d
+    kh, kw, c = w.shape
+    xp = pad2d(x, kh // 2, kh // 2, kw // 2, kw // 2, mode=padding_mode)
+    return jax.lax.conv_general_dilated(
+        xp, w[:, :, None, :], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
 def fused_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
                            padding_mode: str = "edge",
                            impl: str = "pallas") -> jnp.ndarray:
-    """Depthwise 'same' conv, replicate padding. x: (B,H,W,C); w: (kh,kw,C)."""
+    """Depthwise 'same' conv, replicate padding. x: (B,H,W,C); w: (kh,kw,C).
+
+    ``impl='pallas'`` (the TPU default reached via ``resolve_impl``) maps to
+    the native grouped conv — fastest measured; the hand-written halo kernel
+    stays reachable as ``impl='pallas_kernel'``/``'pallas_interpret'`` for
+    further tuning and CPU-interpreted parity tests."""
     if impl == "xla" or padding_mode != "edge":
         return xla_depthwise_conv2d(x, w, padding_mode)
+    if impl == "pallas":
+        return native_depthwise_conv2d(x, w, padding_mode)
     return _fused(x, w, impl == "pallas_interpret")

@@ -28,11 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_tb(bw: int, nw: Optional[int],
              bytes_per_window: int = 0,
-             budget: int = 10 * 1024 * 1024) -> int:
+             budget: int = 8 * 1024 * 1024) -> int:
     """Largest window-block size that divides BW (and nW when masked) and
     keeps the per-program VMEM footprint under ``budget`` (the hardware
-    scoped-vmem limit is 16 MB; block IO buffers are double-buffered by the
-    pipeline, which ``bytes_per_window`` estimates must account for)."""
+    scoped-vmem limit is 16 MB and Mosaic's real stack allocation runs up to
+    ~30% over these estimates, so budget conservatively; block IO buffers are
+    double-buffered by the pipeline, which ``bytes_per_window`` estimates
+    must account for)."""
     for tb in (16, 8, 4, 2, 1):
         if bw % tb != 0 or (nw is not None and nw % tb != 0):
             continue
