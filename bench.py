@@ -48,7 +48,7 @@ def main():
     model = build_model(opt, 0.001, 80.0, dtype=jnp.bfloat16,
                         use_checkpoint=False)
 
-    batch = int(os.environ.get("MDE_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("MDE_BENCH_BATCH", "8"))  # 8 beats 4 (+22%) and 16 on v5e
     x = jnp.asarray(np.random.RandomState(0).rand(batch, 352, 704, 3),
                     jnp.float32)
 

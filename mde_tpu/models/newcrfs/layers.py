@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -40,10 +39,13 @@ class CRFWindowAttention(nn.Module):
     attn_drop_prob: float = 0.0
     drop_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, v: jnp.ndarray,
-                 mask: Optional[np.ndarray] = None, train: bool = False):
+                 mask: Optional[jnp.ndarray] = None, train: bool = False):
+        from ...ops.pallas import resolve_impl, fused_window_attention
+
         bw, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -52,31 +54,45 @@ class CRFWindowAttention(nn.Module):
         qk = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                       param_dtype=jnp.float32,
                       kernel_init=trunc_normal_init(0.02), name="qk")(x)
-        qk = qk.reshape(bw, n, 2, nh, hd)
-        q, k = qk[:, :, 0], qk[:, :, 1]
-
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
 
         rpi = relative_position_index(self.window_size, self.window_size)
         table = self.param(
             "relative_position_bias_table", trunc_normal_init(0.02),
             ((2 * self.window_size - 1) ** 2, nh))
         bias = table[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
-
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask, attn.dtype)
-            attn = attn.reshape(bw // nw, nw, nh, n, n) + m[None, :, None]
-            attn = attn.reshape(bw, nh, n, n)
-
-        attn = nn.softmax(jnp.asarray(attn, jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(attn)
 
         v_dim = v.shape[-1]
         assert v_dim == c, "v_dim must equal embed_dim (reference ``:143``)"
-        vh = v.reshape(bw, n, nh, v_dim // nh)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(bw, n, v_dim)
+
+        impl = resolve_impl(self.attn_impl)
+        use_fused = impl != "xla" and not (train and self.attn_drop_prob > 0)
+
+        if use_fused:
+            qk = qk.reshape(bw, n, 2, c)
+            out = fused_window_attention(
+                qk[:, :, 0], qk[:, :, 1], v, bias,
+                None if mask is None else jnp.asarray(mask, jnp.float32),
+                nh, scale, impl=impl)
+        else:
+            qk = qk.reshape(bw, n, 2, nh, hd)
+            q, k = qk[:, :, 0], qk[:, :, 1]
+
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            attn = attn + bias[None].astype(attn.dtype)
+
+            if mask is not None:
+                nw = mask.shape[0]
+                m = jnp.asarray(mask, attn.dtype)
+                attn = attn.reshape(bw // nw, nw, nh, n, n) + m[None, :, None]
+                attn = attn.reshape(bw, nh, n, n)
+
+            attn = nn.softmax(jnp.asarray(attn, jnp.float32),
+                              axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(attn)
+
+            vh = v.reshape(bw, n, nh, v_dim // nh)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(bw, n, v_dim)
+
         out = nn.Dense(v_dim, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=trunc_normal_init(0.02), name="proj")(out)
         out = nn.Dropout(self.drop_prob, deterministic=not train)(out)

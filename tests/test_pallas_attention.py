@@ -180,3 +180,22 @@ def test_depthwise_kernel_grad():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_crf_window_attention_impl_parity():
+    from mde_tpu.models.newcrfs.layers import CRFWindowAttention
+    from mde_tpu.ops.window import shifted_window_attn_mask
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 32), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 32), jnp.float32)
+    mask = shifted_window_attn_mask(8, 8, 4, 2)
+
+    mod = CRFWindowAttention(num_heads=2, window_size=4, attn_impl="xla")
+    params = mod.init(jax.random.PRNGKey(2), x, v, mask)
+    ref = mod.apply(params, x, v, mask)
+
+    mod2 = CRFWindowAttention(num_heads=2, window_size=4,
+                              attn_impl="pallas_interpret")
+    out = mod2.apply(params, x, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
