@@ -58,13 +58,26 @@ def cmd_dump(args):
     h, w = (480, 640) if args.data_type == "NYU" else (352, 1216)
     x = np.random.RandomState(args.seed).rand(1, h, w, 3).astype(np.float32)
 
-    out = jax.jit(lambda v, img: model.apply(v, img, train=False))(
-        variables, jnp.asarray(x))
-    tensors = {}
+    tensors = {"input": x}
+    if args.intermediates:
+        # per-stage activations (flax capture_intermediates), the analog of
+        # the reference's per-stage diff script swin_transformer_check.py
+        def fwd(v, img):
+            out, mods = model.apply(v, img, train=False, mutable=["intermediates"],
+                                    capture_intermediates=True)
+            return out, mods["intermediates"]
+        out, inter = jax.jit(fwd)(variables, jnp.asarray(x))
+        flat, _ = jax.tree_util.tree_flatten_with_path(inter)
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if hasattr(leaf, "shape"):
+                tensors[f"act:{name}"] = np.asarray(leaf)
+    else:
+        out = jax.jit(lambda v, img: model.apply(v, img, train=False))(
+            variables, jnp.asarray(x))
     leaves, _ = jax.tree_util.tree_flatten(out)
     for i, leaf in enumerate(leaves):
         tensors[f"out{i}"] = np.asarray(leaf)
-    tensors["input"] = x
     np.savez(args.out, **tensors)
     for k, v in tensors.items():
         print(f"{k}: shape={v.shape} sum={v.sum():.6f} mean={v.mean():.6f}")
@@ -98,6 +111,8 @@ def main(argv=None):
     pd.add_argument("--data-type", default="NYU", choices=["NYU", "KITTI"])
     pd.add_argument("--out", required=True)
     pd.add_argument("--seed", type=int, default=0)
+    pd.add_argument("--intermediates", action="store_true",
+                    help="also dump per-module activations (per-stage diff)")
 
     pf = sub.add_parser("diff")
     pf.add_argument("a")
