@@ -10,8 +10,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures
-import itertools
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 import jax

@@ -12,8 +12,6 @@ n_bins -> prediction = sum(softmax * bin centers); returns (pred, bin_edges).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -21,7 +19,6 @@ from ...ops import tnn
 
 from ..efficientnet import efficientnet_b5
 from ...ops.resize import resize_bilinear
-from ...ops.init import trunc_normal_init
 
 
 class TorchTransformerEncoderLayer(nn.Module):

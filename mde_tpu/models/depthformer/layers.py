@@ -14,7 +14,7 @@ key_query_dim, heads, ...)`` — the v1 call site is bitrotten upstream. We keep
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -24,7 +24,6 @@ from ...ops import tnn
 from ...ops.init import trunc_normal_init
 from ...ops.pad import pad2d
 from ...ops.resize import upsample2d
-from ...ops.mlp import PreNormFF
 
 
 class ConvBN(nn.Module):

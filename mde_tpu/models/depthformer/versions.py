@@ -24,7 +24,6 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -24,12 +24,11 @@ replicate for checkpoint parity.)
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List
 
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.depthwise import depthwise_conv2d
 
 # B0 stage template: (kernel, stride, expand, channels, repeats)
 _B0_STAGES = (
@@ -73,10 +72,20 @@ def tf_same_pad(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
 
 
 def _strided_depthwise(x, w, stride: int):
-    """Depthwise conv with TF-SAME padding and stride, via shift-FMA
-    (see ops/depthwise.py for why not feature_group_count)."""
+    """Depthwise conv with TF-SAME padding and stride. On TPU this is the
+    native grouped conv (fastest measured lowering, see ops/pallas/depthwise);
+    on CPU the shift-FMA form avoids XLA:CPU's pathological grouped-conv
+    compiles."""
+    import jax
+    from ..ops.pallas import resolve_impl
+
     k = w.shape[0]
     xp = tf_same_pad(x, k, stride)
+    if resolve_impl("auto") != "xla":
+        return jax.lax.conv_general_dilated(
+            xp, w[:, :, None, :], (stride, stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1])
     h_out = -(-x.shape[1] // stride)
     w_out = -(-x.shape[2] // stride)
     out = jnp.zeros((x.shape[0], h_out, w_out, x.shape[-1]), x.dtype)

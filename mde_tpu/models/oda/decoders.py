@@ -13,8 +13,6 @@ head counts (max(num_aux/8,1), nh/4, nh/2, nh) — both formulas kept verbatim
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 import flax.linen as nn
 

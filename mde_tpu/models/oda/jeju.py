@@ -18,7 +18,7 @@ NHWC end-to-end, and documents the divergence.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -14,7 +14,7 @@ selectable sigmoid family (incl. the reference's ScaledSigmoid
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

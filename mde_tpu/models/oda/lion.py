@@ -25,7 +25,6 @@ from ...ops.conv import ConvBN
 from ...ops.pad import pad2d
 from ...ops.resize import adaptive_avg_pool2d, resize_bilinear
 from ...ops.init import trunc_normal_init
-from ...ops.depthwise import DepthwiseConv2d
 
 
 def _dense(feat, dtype, name, bias=True):

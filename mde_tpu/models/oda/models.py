@@ -9,9 +9,8 @@ softmax bin classification with aux-token-regressed bin widths
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

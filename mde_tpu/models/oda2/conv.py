@@ -7,7 +7,7 @@ encoder -> PPM at 1/32 -> conv top-down pyramid to a 1/2-scale regression map
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -16,9 +16,8 @@ bin-probability channels; per-aux-token Linear chain regresses bin widths
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -11,7 +11,7 @@ quirk) + sigmoid rescale.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

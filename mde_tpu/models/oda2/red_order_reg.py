@@ -20,8 +20,7 @@ Neck: per-scale 2x ConvBN chains to (2d, d, d/2, d/4) channels, upsampled to
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

@@ -15,7 +15,7 @@ Behavioral reference: ``model/ODA2/oda2_red_order_swin_decoder.py`` +
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

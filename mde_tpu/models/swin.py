@@ -20,7 +20,7 @@ TPU-first departures from the reference:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

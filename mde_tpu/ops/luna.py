@@ -14,7 +14,7 @@ plain batched einsums -> MXU.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

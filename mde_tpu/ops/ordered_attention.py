@@ -17,8 +17,6 @@ for this op lives in ``mde_tpu/ops/pallas/ordered_attention.py``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -9,7 +9,7 @@ r x r block means of the (optionally rolled) feature map.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

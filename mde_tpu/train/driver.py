@@ -16,7 +16,6 @@ TPU-native: no process spawning/DDP — one controller, batch sharded over the
 from __future__ import annotations
 
 import os
-import time
 from typing import Optional
 
 import numpy as np
@@ -32,7 +31,7 @@ from ..data.loader import DataLoader
 from ..data.splits import dataset_spec
 from ..models import build_model
 from ..parallel.mesh import make_mesh, shard_batch, replicate
-from .optim import build_optimizer, build_lr_schedule
+from .optim import build_optimizer
 from .state import TrainState
 from .step import make_train_step, make_eval_step
 from ..utils.wandb_utils import set_wandb

@@ -12,7 +12,7 @@ becomes zero lines of code here.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,6 @@ def make_eval_step(model, opt, min_depth_eval: float, max_depth_eval: float,
     (reconstruction of SURVEY.md §3.2)."""
     from ..core import metrics as M
     from ..ops.resize import resize_bilinear
-    import numpy as np
 
     opt_eval = opt["eval"]
 

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from mde_tpu.core.checkpoint import (
-    convert_swin_backbone, interpolate_rel_pos_bias, KeyAccountant,
+    convert_swin_backbone, interpolate_rel_pos_bias,
     tree_shapes_match, save_checkpoint, latest_checkpoint, restore_checkpoint,
 )
 from mde_tpu.models.swin import SwinTransformer

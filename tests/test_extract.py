@@ -6,7 +6,6 @@ import pytest
 from PIL import Image
 
 from mde_tpu.data.extract import extract_subset
-from mde_tpu.data.splits import check_split
 
 
 def _mk_corpus(tmp_path, lines, data_type="KITTI"):

@@ -116,7 +116,6 @@ def test_toeplitz_bias_matches_gather():
 
 def test_window_attention_module_impl_parity(monkeypatch):
     """The flax WindowAttention module gives identical results on both paths."""
-    import flax.linen as nn  # noqa: F401
     from mde_tpu.ops.attention import WindowAttention
     from mde_tpu.ops.window import shifted_window_attn_mask
 
