@@ -120,7 +120,8 @@ class Trainer:
         if freeze_bn not in self._steps:
             self._steps[freeze_bn] = make_train_step(
                 self.model, self.opt, self.min_depth, self.max_depth, self.tx,
-                num_accum=self.num_accum, freeze_bn=freeze_bn, donate=False)
+                num_accum=self.num_accum, freeze_bn=freeze_bn,
+                freeze_encoder_bn=self.freeze_encoder_bn, donate=False)
         return self._steps[freeze_bn]
 
     def init_state(self, rng=None, sample_batch=None):

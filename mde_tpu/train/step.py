@@ -53,6 +53,7 @@ def make_train_step(model, opt, min_depth: float, max_depth: float,
                     adapter: ModelAdapter = default_adapter,
                     num_accum: int = 1,
                     freeze_bn: bool = False,
+                    freeze_encoder_bn: bool = False,
                     donate: bool = True):
     """Build the jitted train step.
 
@@ -70,8 +71,12 @@ def make_train_step(model, opt, min_depth: float, max_depth: float,
                                    mutable=["batch_stats"])
         # freeze_bn: BN still normalizes with batch statistics but the
         # running stats stay frozen (reference freeze_bn semantics,
-        # utils/common_utils.py:78-81)
+        # utils/common_utils.py:78-81); freeze_encoder_bn pins only the
+        # encoder subtree (config train.freeze_encoder_bn)
         new_stats = batch_stats if freeze_bn else updates["batch_stats"]
+        if freeze_encoder_bn and not freeze_bn and "encoder" in batch_stats:
+            new_stats = dict(new_stats)
+            new_stats["encoder"] = batch_stats["encoder"]
         outs, centers = adapter(out)
         loss, logs = depth_loss(outs, depths, bin_centers=centers)
         return loss, (new_stats, logs)

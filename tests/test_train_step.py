@@ -137,3 +137,53 @@ def test_lr_schedule_onecycle_shape():
     assert lr_peak == pytest.approx(1e-4, rel=1e-2)
     assert lr_end == pytest.approx(1e-4 / 25 / 100, rel=0.1)
     assert lr_peak > lr0 > lr_end
+
+
+def test_freeze_encoder_bn_pins_encoder_stats():
+    """train.freeze_encoder_bn keeps encoder BN running stats fixed while the
+    rest of the batch_stats update (reference utils/common_utils.py:78-81)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from mde_tpu.core.config import load_config
+    from mde_tpu.train.optim import build_optimizer
+    from mde_tpu.train.state import TrainState
+    from mde_tpu.train.step import make_train_step
+
+    class Enc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.BatchNorm(use_running_average=not train, name="bn")(x)
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = Enc(name="encoder")(x, train)
+            h = nn.BatchNorm(use_running_average=not train, name="bn_dec")(h)
+            return (nn.sigmoid(nn.Dense(1)(h).mean(axis=-1, keepdims=True)),)
+
+    model = Model()
+    opt = load_config({"loss": {"alpha": 10.0, "beta": 0.15},
+                       "optimizer": {"lr": 1e-3, "weight_decay": 0.0},
+                       "train": {}})
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 8, 8, 3), jnp.float32)
+    d = jnp.asarray(np.random.RandomState(1).uniform(1, 5, (4, 8, 8, 1)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    tx = build_optimizer(opt, total_steps=10)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    step = make_train_step(model, opt, 0.1, 10.0, tx, freeze_encoder_bn=True,
+                           donate=False)
+    new_state, _ = step(state, {"image": x, "depth": d}, jax.random.PRNGKey(1))
+
+    enc_before = jax.tree_util.tree_leaves(state.batch_stats["encoder"])
+    enc_after = jax.tree_util.tree_leaves(new_state.batch_stats["encoder"])
+    for a, b in zip(enc_before, enc_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    dec_before = jax.tree_util.tree_leaves(state.batch_stats["bn_dec"])
+    dec_after = jax.tree_util.tree_leaves(new_state.batch_stats["bn_dec"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(dec_before, dec_after))
