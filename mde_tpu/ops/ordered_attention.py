@@ -128,8 +128,10 @@ class PreNormOrderedSwinSA(nn.Module):
             attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(attn)
             if table is not None:
                 rel = idx_w[:, :, None] - idx_w[:, None, :] + (self.num_emb - 1)
-                de = jnp.take(table, rel, axis=0)  # (B*nW, n, n, nh)
-                attn = attn + de.transpose(0, 3, 1, 2).astype(attn.dtype)
+                # heads-leading gather keeps n as the minor dim (a trailing
+                # 8-head lane dim pads 16x on TPU)
+                de = jnp.take(table.T, rel, axis=1)  # (nh, B*nW, n, n)
+                attn = attn + de.transpose(1, 0, 2, 3).astype(attn.dtype)
             attn = nn.softmax(jnp.asarray(attn, jnp.float32), axis=-1)
             weights = attn
             attn = attn.astype(self.dtype)

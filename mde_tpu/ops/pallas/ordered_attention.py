@@ -69,8 +69,10 @@ def xla_ordered_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     attn = attn * scale
     if table is not None:
         rel = idx[:, :, None] - idx[:, None, :] + (num_emb - 1)  # (BW, N, N)
-        de = jnp.take(table, rel, axis=0)                        # (BW, N, N, nh)
-        attn = attn + de.transpose(0, 3, 1, 2).astype(jnp.float32)
+        # gather with N as the minor dim: a (BW, N, N, heads) layout pads the
+        # 8-head lane dim 16x on TPU (5.7 GB of padding at train shapes)
+        de = jnp.take(table.T, rel, axis=1)                      # (nh, BW, N, N)
+        attn = attn + de.transpose(1, 0, 2, 3).astype(jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
     return out.reshape(bw, n, c)
