@@ -23,13 +23,18 @@ _DEFAULT_SPLIT_DIRS = (
     os.path.join(os.path.dirname(__file__), "train_test_inputs"),
 )
 
+# NYU train list: the reference ships 24k and 36k variants and hardcodes 36k
+# (24k commented out, ``dataset/depth_dataset.py:78-79``); MDE_NYU_TRAIN_LIST
+# = "24k" selects the smaller one.
+_NYU_TRAIN = f"NYU/nyu_train_{os.environ.get('MDE_NYU_TRAIN_LIST', '36k')}.txt"
+
 _SPLIT_FILES = {
     ("KITTI", "train"): "KITTI/kitti_eigen_train.txt",
     ("KITTI", "test"): "KITTI/kitti_eigen_test.txt",
     ("ONLINE", "train"): "KITTI/kitti_benchmark_train.txt",
     ("ONLINE", "test"): "KITTI/kitti_benchmark_val.txt",
     ("ONLINE", "benchmark"): "KITTI/kitti_benchmark_test.txt",
-    ("NYU", "train"): "NYU/nyu_train_36k.txt",
+    ("NYU", "train"): _NYU_TRAIN,
     ("NYU", "test"): "NYU/nyu_test.txt",
 }
 
