@@ -95,6 +95,10 @@ class PreNormOrderedSwinSA(nn.Module):
             )
         elif self.bias_type == "none":
             idx_w = table = None
+        elif self.bias_type == "pos":
+            # the reference also leaves this unimplemented
+            # (oda2_red_order_swin2_decoder.py:66-67)
+            raise NotImplementedError("bias_type 'pos'")
         else:
             raise ValueError(f"Unsupported bias type {self.bias_type}.")
 
