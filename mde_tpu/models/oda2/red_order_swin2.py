@@ -95,6 +95,7 @@ class OrderedSwinRegHead(nn.Module):
     bias_init: str = "linear"
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
 
@@ -133,7 +134,12 @@ class OrderedSwinRegHead(nn.Module):
             outs.append(jax.nn.sigmoid(logit))
 
             indices = self._logit_to_indices(logit)
-            x, aws = OrderedSwinBlock(
+            # remat: recompute block activations in the backward pass — the
+            # head runs at 1/4 resolution with 4x-expanded FFs, whose saved
+            # intermediates otherwise dominate train-step HBM
+            block_cls = (nn.remat(OrderedSwinBlock, static_argnums=(3,))
+                         if self.use_checkpoint else OrderedSwinBlock)
+            x, aws = block_cls(
                 num_heads=self.num_heads, num_emb=self.num_emb,
                 window_size=self.window_size,
                 feedforward_dims=self.feedforward_dims,
@@ -168,6 +174,7 @@ class OrderedSwin2RegDecoder(nn.Module):
     neck_type: str = "red"
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
 
@@ -262,7 +269,8 @@ class OrderedSwin2RegDecoder(nn.Module):
             attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
             output_scale=self.output_scale, bias_type=self.bias_type,
             bias_init=self.bias_init, bn_momentum=self.bn_momentum,
-            bn_eps=self.bn_eps, dtype=self.dtype,
+            bn_eps=self.bn_eps, use_checkpoint=self.use_checkpoint,
+            dtype=self.dtype,
             return_weights=self.return_weights, name="reducer",
         )(dec, train=train)
 
@@ -345,7 +353,8 @@ class ODA2OrderedSwin2RegModel(nn.Module):
             drop_prob=self.drop_prob, output_scale=self.output_scale,
             bias_type=self.bias_type, bias_init=self.bias_init,
             neck_type=self.neck_type, bn_momentum=self.bn_momentum,
-            bn_eps=self.bn_eps, dtype=self.dtype,
+            bn_eps=self.bn_eps, use_checkpoint=self.use_checkpoint,
+            dtype=self.dtype,
             return_weights=self.return_weights, name="decoder",
         )(features, train=train)
 
