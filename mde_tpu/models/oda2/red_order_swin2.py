@@ -148,7 +148,7 @@ class OrderedSwinRegHead(nn.Module):
                 bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
                 dtype=self.dtype, return_weights=self.return_weights,
                 name=f"attn{i}",
-            )(x, indices, train=train)
+            )(x, indices, train)
             attn_weights += aws
 
         logit = self._conv_head(in_dims, self.num_repeats,

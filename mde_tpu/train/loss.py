@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
@@ -77,32 +78,52 @@ def sog_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarr
 
 
 def chamfer_bin_loss(bin_centers: jnp.ndarray, gt: jnp.ndarray,
-                     mask: jnp.ndarray) -> jnp.ndarray:
+                     mask: jnp.ndarray, chunk: int = 4096) -> jnp.ndarray:
     """Bidirectional chamfer between per-image bin centers and GT depth set.
 
     bin_centers: (B, n_bins); gt/mask: (B, H, W[, 1]). Invalid pixels are
     excluded from the gt->bins direction and masked out of the bins->gt min by
     being pushed to +inf distance.
+
+    The pairwise (B, n_pix, n_bins) distance tensor would be ~2 GB at KITTI
+    train shapes (SURVEY.md §7.3 item 6), so pixels stream through a
+    ``lax.scan`` in ``chunk``-sized tiles, carrying the running masked sum
+    (gt->bin direction) and the running per-bin min (bin->gt direction) —
+    peak memory is one (B, chunk, n_bins) tile.
     """
-    b = bin_centers.shape[0]
+    b, nb = bin_centers.shape
     gt = gt.reshape(b, -1)
     mask = mask.reshape(b, -1)
+    p = gt.shape[1]
 
-    # (B, n_pix, n_bins) pairwise squared distances
-    diff = gt[:, :, None] - bin_centers[:, None, :]
-    dist2 = diff ** 2
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    if pad:
+        gt = jnp.pad(gt, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    gt_c = gt.reshape(b, n_chunks, chunk).transpose(1, 0, 2)      # (nc, B, chunk)
+    mask_c = mask.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
 
-    # gt -> nearest bin (masked mean over pixels)
-    d_gt = dist2.min(axis=2)
-    loss_gt = _masked_mean(d_gt, mask, axis=1)
+    big = jnp.asarray(1e10, jnp.float32)
 
-    # bin -> nearest valid gt (invalid pixels at +inf)
-    big = jnp.asarray(1e10, dist2.dtype)
-    d_bin = jnp.where(mask[:, :, None], dist2, big).min(axis=1)
-    # guard images with no valid pixels
-    any_valid = mask.any(axis=1)
-    loss_bin = jnp.where(any_valid, d_bin.mean(axis=1), 0.0)
+    def body(carry, xs):
+        sum_dgt, cnt, min_dbin = carry
+        g, m = xs                                   # (B, chunk)
+        dist2 = (g[:, :, None].astype(jnp.float32)
+                 - bin_centers[:, None, :].astype(jnp.float32)) ** 2
+        d_gt = dist2.min(axis=2)                    # (B, chunk)
+        sum_dgt = sum_dgt + (d_gt * m).sum(axis=1)
+        cnt = cnt + m.sum(axis=1)
+        d_bin = jnp.where(m[:, :, None] > 0, dist2, big).min(axis=1)  # (B, nb)
+        return (sum_dgt, cnt, jnp.minimum(min_dbin, d_bin)), None
 
+    init = (jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.float32),
+            jnp.full((b, nb), big, jnp.float32))
+    (sum_dgt, cnt, min_dbin), _ = jax.lax.scan(body, init, (gt_c, mask_c))
+
+    any_valid = cnt > 0
+    loss_gt = jnp.where(any_valid, sum_dgt / jnp.maximum(cnt, 1.0), 0.0)
+    loss_bin = jnp.where(any_valid, min_dbin.mean(axis=1), 0.0)
     return (loss_gt + loss_bin).mean()
 
 
