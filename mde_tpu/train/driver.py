@@ -118,10 +118,13 @@ class Trainer:
 
     def _get_step(self, freeze_bn: bool):
         if freeze_bn not in self._steps:
+            # donate: the previous TrainState's buffers are reused in place
+            # (halves peak optimizer/param HBM); self.state always points at
+            # the newest state so nothing dangles
             self._steps[freeze_bn] = make_train_step(
                 self.model, self.opt, self.min_depth, self.max_depth, self.tx,
                 num_accum=self.num_accum, freeze_bn=freeze_bn,
-                freeze_encoder_bn=self.freeze_encoder_bn, donate=False)
+                freeze_encoder_bn=self.freeze_encoder_bn, donate=True)
         return self._steps[freeze_bn]
 
     def init_state(self, rng=None, sample_batch=None):
