@@ -16,7 +16,7 @@ import numpy as np
 def colorize(depth: np.ndarray, vmin: Optional[float] = None,
              vmax: Optional[float] = None, cmap: str = "magma_r") -> np.ndarray:
     """(H, W[, 1]) depth -> (H, W, 4) uint8 (reference ``:10-29``)."""
-    import matplotlib.cm
+    import matplotlib
 
     value = np.asarray(depth, np.float32)
     if value.ndim == 3:
@@ -29,7 +29,7 @@ def colorize(depth: np.ndarray, vmin: Optional[float] = None,
         norm = (value - vmin) / (vmax - vmin)
     else:
         norm = value * 0.0
-    cmapper = matplotlib.cm.get_cmap(cmap)
+    cmapper = matplotlib.colormaps[cmap]
     img = cmapper(np.clip(norm, 0, 1), bytes=True)  # (H, W, 4) uint8
     img[invalid] = 255  # over/under-range -> white (reference behavior)
     return img
