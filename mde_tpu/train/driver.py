@@ -142,8 +142,10 @@ class Trainer:
         # resume (reference: config ``checkpoint`` key)
         resume = self.opt.get("checkpoint", "")
         if resume:
-            path = resume if os.path.isdir(resume) else None
-            path = path or ckpt.latest_checkpoint(resume)
+            # `checkpoint` may point at a step_N directory directly or at the
+            # checkpoints/ parent — prefer the newest step_N inside
+            path = ckpt.latest_checkpoint(resume) or (
+                resume if os.path.isdir(resume) else None)
             if path:
                 payload = ckpt.restore_checkpoint(
                     path, {"state": jax.device_get(self.state),

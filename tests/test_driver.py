@@ -125,3 +125,31 @@ def test_predict_writes_submission_pngs(tmp_path):
     arr = np.asarray(img)
     assert arr.dtype in (np.uint16, np.int32)  # PIL I;16 loads as uint16/int32
     assert arr.ndim == 2
+
+
+@pytest.mark.heavy
+def test_trainer_checkpoint_resume_roundtrip(tmp_path):
+    """Best-checkpoint save during fit, then a fresh Trainer resumes from it
+    (the reference's restart-based recovery, SURVEY.md §5.3)."""
+    import os
+    opt = load_config(dict(TINY_OPT, output_dir=str(tmp_path)))
+    overrides = dict(use_checkpoint=False, resize_to_multiple=False,
+                     encoder_kwargs=TINY_ENC)
+    trainer = Trainer(opt, model_overrides=overrides)
+    trainer.init_state()
+    trainer.fit(max_steps=4)  # valid_freq=4 -> one validation + save
+    ckpt_dir = os.path.join(str(tmp_path), "checkpoints")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    opt2 = load_config(dict(TINY_OPT, output_dir=str(tmp_path),
+                            checkpoint=ckpt_dir))
+    trainer2 = Trainer(opt2, model_overrides=overrides)
+    trainer2.init_state()
+    assert trainer2.global_step == 4
+    assert trainer2.best_value is not None
+    # params actually match the saved ones
+    import jax
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(trainer2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
