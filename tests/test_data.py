@@ -150,3 +150,73 @@ def test_normalize_matches_reference_constants():
     y = np.asarray(normalize_images(x))
     want = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
     np.testing.assert_allclose(y[0, 0, 0], want, rtol=1e-5)
+
+
+def _write_png(path, arr):
+    from PIL import Image
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if arr.dtype == np.uint16:
+        Image.fromarray(arr, mode="I;16").save(path)
+    else:
+        Image.fromarray(arr).save(path)
+
+
+def test_real_kitti_loading_kb_crop_and_scaling(tmp_path):
+    """Real-file path: PNG decode, KB-crop to (352,1216), /255 image and
+    /256 depth scaling (reference depth_dataset.py:197-206,228)."""
+    import os
+    rng = np.random.RandomState(0)
+    h, w = 375, 1242
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    depth_mm = (rng.rand(h, w) * 80 * 256).astype(np.uint16)
+    _write_png(str(tmp_path / "data" / "raw" / "seq" / "img.png"), img)
+    _write_png(str(tmp_path / "data" / "gts" / "seq" / "gt.png"), depth_mm)
+
+    split_dir = tmp_path / "splits" / "KITTI"
+    split_dir.mkdir(parents=True)
+    (split_dir / "kitti_eigen_test.txt").write_text(
+        "seq/img.png seq/gt.png 718.856\n")
+
+    ds = DepthDataset(str(tmp_path / "data"), "KITTI", "test",
+                      split_dir=str(tmp_path / "splits"))
+    assert not ds.synthetic and len(ds) == 1
+    sample = ds[0]
+    assert sample["image"].shape == (352, 1216, 3)
+    assert sample["depth"].shape == (352, 1216, 1)
+    assert sample["focal"] == 718.856
+
+    top, left = 375 - 352, (1242 - 1216) // 2
+    # image is ImageNet-normalized in __getitem__; check via load_raw
+    raw_img, raw_depth, _, _, _ = ds.load_raw(0)
+    np.testing.assert_allclose(
+        raw_img, img[top:top + 352, left:left + 1216].astype(np.float32) / 255.0,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        raw_depth[..., 0],
+        depth_mm[top:top + 352, left:left + 1216].astype(np.float32) / 256.0,
+        atol=1e-4)
+
+
+def test_real_nyu_train_region_masking(tmp_path):
+    """NYU train GT is zeroed outside rows 45:472, cols 43:608
+    (reference depth_dataset.py:210-217)."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (480, 640, 3), dtype=np.uint8)
+    depth = np.full((480, 640), 3000, dtype=np.uint16)  # 3 m everywhere
+    _write_png(str(tmp_path / "data" / "scene" / "rgb_00000.jpg"), img)
+    _write_png(str(tmp_path / "data" / "scene" / "sync_depth_00000.png"), depth)
+
+    split_dir = tmp_path / "splits" / "NYU"
+    split_dir.mkdir(parents=True)
+    (split_dir / "nyu_train_36k.txt").write_text(
+        "/scene/rgb_00000.jpg /scene/sync_depth_00000.png 518.8579\n")
+
+    ds = DepthDataset(str(tmp_path / "data"), "NYU", "train",
+                      split_dir=str(tmp_path / "splits"))
+    assert not ds.synthetic
+    _, raw_depth, _, _, _ = ds.load_raw(0)
+    d = raw_depth[..., 0]
+    assert np.all(d[:45, :] == 0) and np.all(d[472:, :] == 0)
+    assert np.all(d[:, :43] == 0) and np.all(d[:, 608:] == 0)
+    np.testing.assert_allclose(d[45:472, 43:608], 3.0, atol=1e-4)
