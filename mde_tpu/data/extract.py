@@ -105,7 +105,7 @@ def convert_nyu_mat(mat_path: str, split_mat_path: str, out_folder: str,
         image = np.transpose(np.asarray(images[i]), (2, 1, 0))
 
         depth_mm = (depth_raw * 1000.0).astype(np.uint16)
-        Image.fromarray(depth_mm, mode="I;16").save(
+        Image.fromarray(depth_mm).save(
             os.path.join(folder, f"sync_depth_{i:05d}.png"))
 
         bounded = np.zeros((480, 640, 3), dtype=np.uint8)

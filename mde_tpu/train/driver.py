@@ -214,8 +214,7 @@ class Trainer:
                 rel = os.path.splitext(rel)[0] + ".png"
             path = os.path.join(out_dir, rel)
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            Image.fromarray((arr * 256.0).astype(np.uint16),
-                            mode="I;16").save(path)
+            Image.fromarray((arr * 256.0).astype(np.uint16)).save(path)
             if visualize:
                 from ..utils.visualize import colorize
                 Image.fromarray(colorize(arr, 0.0, ds.max_depth)).save(

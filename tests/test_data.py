@@ -157,7 +157,7 @@ def _write_png(path, arr):
     import os
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if arr.dtype == np.uint16:
-        Image.fromarray(arr, mode="I;16").save(path)
+        Image.fromarray(arr).save(path)
     else:
         Image.fromarray(arr).save(path)
 
