@@ -117,7 +117,9 @@ class OrderedSwinRegHead(nn.Module):
 
     def _logit_to_indices(self, logit: jnp.ndarray) -> jnp.ndarray:
         """Quantize sigmoid(logit) into [0, num_emb) index map, no grad
-        (reference ``:246-253``)."""
+        (reference ``:246-253``). The reference's floor(p*E - 1e-3) yields -1
+        for p < 7.8e-6, which torch index-wraps to the last table row; we
+        clamp to 0 instead (the in-range behavior is identical)."""
         p = jax.nn.sigmoid(jax.lax.stop_gradient(logit))
         idx = jnp.floor(p * self.num_emb - 1e-3)
         return jnp.clip(idx, 0, self.num_emb - 1).astype(jnp.int32)[..., 0]
