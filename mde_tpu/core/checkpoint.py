@@ -221,12 +221,15 @@ def convert_swin_backbone(torch_state: Dict[str, np.ndarray],
                           depths: Tuple[int, ...] = (2, 2, 18, 2),
                           out_indices: Tuple[int, ...] = (0, 1, 2, 3),
                           target_window: Optional[int] = None,
+                          take_out_norms: bool = False,
                           ) -> Dict[str, Any]:
     """Microsoft Swin(-B/L 22k) state dict -> our SwinTransformer params.
 
     Mirrors the reference's strict load after dropping classifier head/norm
     and attn_mask buffers (``oda2_swin_transformer.py:640-654``); the
-    per-out-index norms are freshly initialized to identity (``:651-653``).
+    per-out-index norms are freshly initialized to identity (``:651-653``)
+    unless ``take_out_norms`` (a full-model checkpoint whose ``norm{i}`` are
+    trained, e.g. a saved flagship run).
     """
     acc = KeyAccountant(torch_state)
     acc.skip(r"^(norm\.weight|norm\.bias|head\.weight|head\.bias)$")
@@ -252,12 +255,15 @@ def convert_swin_backbone(torch_state: Dict[str, np.ndarray],
             }
         params[f"layers{i}"] = stage
 
-    # fresh identity output norms (reference fills 1/0: ``:651-653``)
     embed_dim = params["patch_embed"]["proj"]["kernel"].shape[-1]
     for i in out_indices:
-        dim = embed_dim * 2 ** i
-        params[f"norm{i}"] = {"scale": np.ones(dim, np.float32),
-                              "bias": np.zeros(dim, np.float32)}
+        if take_out_norms:
+            params[f"norm{i}"] = _ln(acc, f"norm{i}")
+        else:
+            # fresh identity output norms (reference fills 1/0: ``:651-653``)
+            dim = embed_dim * 2 ** i
+            params[f"norm{i}"] = {"scale": np.ones(dim, np.float32),
+                                  "bias": np.zeros(dim, np.float32)}
 
     acc.assert_exhausted()
     return params
@@ -540,3 +546,174 @@ def convert_newcrfs_model(torch_state: Dict[str, np.ndarray],
 
     acc.assert_exhausted()
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# ODA2 flagship (oda2_red_order_swin2) full-model converter
+# ---------------------------------------------------------------------------
+
+def _convbn(acc: KeyAccountant, prefix: str):
+    """Reference ``ConvBN`` (``oda2_layer_utils.py:12-52``: bias-free conv +
+    BatchNorm) -> our ``ConvBN`` {conv, norm} params + {norm} stats."""
+    params = {"conv": _conv(acc, f"{prefix}.conv", bias=False)}
+    bnp, bns = _bn_pair(acc, f"{prefix}.bn")
+    params["norm"] = bnp["bn"]
+    return params, {"norm": bns["bn"]}
+
+
+def _dwconv_ff(acc: KeyAccountant, prefix: str):
+    """Reference ``PreNormDWConvFF`` (``oda2_red_order_reg_decoder.py:43-93``)
+    -> our PreNormDWConvFF params/stats."""
+    params = {
+        "norm": _ln(acc, f"{prefix}.norm"),
+        "lin1": _dense(acc, f"{prefix}.lin1"),
+        "conv2": {"kernel": _dw_conv(acc, f"{prefix}.conv2.weight")},
+        "lin3": _dense(acc, f"{prefix}.lin3"),
+    }
+    bnp, bns = _bn_pair(acc, f"{prefix}.bn2")
+    params["bn2"] = bnp["bn"]
+    return params, {"bn2": bns["bn"]}
+
+
+def _ordered_sa(acc: KeyAccountant, prefix: str, bias_type: str):
+    """Reference ``PreNormOrderedSwinSA`` (``oda2_red_order_swin2_decoder.py:
+    13-132``) -> our PreNormOrderedSwinSA params."""
+    params = {
+        "norm": _ln(acc, f"{prefix}.norm"),
+        "q_proj": _dense(acc, f"{prefix}.q_proj"),
+        "k_proj": _dense(acc, f"{prefix}.k_proj"),
+        "v_proj": _dense(acc, f"{prefix}.v_proj"),
+        "o_proj": _dense(acc, f"{prefix}.o_proj"),
+    }
+    if bias_type == "depth":
+        params["depth_embedding"] = acc.take(f"{prefix}.depth_embedding")
+    return params
+
+
+def _ordered_block(acc: KeyAccountant, prefix: str, bias_type: str):
+    """Reference ``OrderedSwinBlock`` (``:135-181``)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for name in ("sa1", "sa2"):
+        params[name] = _ordered_sa(acc, f"{prefix}.{name}", bias_type)
+    for name in ("ff1", "ff2"):
+        params[name], stats[name] = _dwconv_ff(acc, f"{prefix}.{name}")
+    params["linear"] = _dense(acc, f"{prefix}.linear", bias=False)
+    params["norm"] = _ln(acc, f"{prefix}.norm")
+    return params, stats
+
+
+def _convert_oda2_decoder(acc: KeyAccountant, prefix: str,
+                          num_repeats: int, neck_type: str,
+                          output_scale: int, bias_type: str):
+    """Reference ``OrderedSwin2RegDecoder`` subtree (keys under ``prefix``)
+    -> our decoder (params, batch_stats)."""
+    dec: Dict[str, Any] = {}
+    dec_s: Dict[str, Any] = {}
+
+    def convbn_into(our_name: str, torch_suffix: str):
+        p, s = _convbn(acc, prefix + torch_suffix)
+        dec[our_name] = p
+        dec_s[our_name] = s
+
+    scales = ("32", "16", "8", "4")
+    if neck_type == "red":
+        for s in scales:
+            for j in range(3):
+                convbn_into(f"enc_conv{s}_{j}", f"enc_conv{s}.{j}")
+    elif neck_type == "fpn":
+        for s in scales:
+            for j in range(2):
+                convbn_into(f"enc_conv{s}_{j}", f"enc_conv{s}.{j}")
+    elif neck_type == "segformer":
+        for s in scales:
+            # plain 1x1 conv with bias (``:372-387``)
+            dec[f"enc_conv{s}"] = _conv(acc, f"{prefix}enc_conv{s}.0")
+        convbn_into("enc_fuse", "enc_fuse")
+    elif neck_type in ("red33", "red33r"):
+        for s in scales:
+            for j in range(2):
+                convbn_into(f"enc_conv{s}_{j}", f"enc_conv{s}.{j}")
+        convbn_into("enc_fuse", "enc_fuse")
+    elif neck_type == "red33res":
+        for s in scales:
+            for j in range(2):
+                convbn_into(f"enc_conv{s}_{j}", f"enc_conv{s}.{j}")
+            convbn_into(f"enc_conv{s}_res", f"enc_res{s}")
+        convbn_into("enc_fuse", "enc_fuse")
+    else:
+        raise ValueError(f"Unsupported neck type {neck_type}.")
+
+    dec["dec_linear"] = _dense(acc, f"{prefix}dec_linear", bias=False)
+    dec["dec_norm"] = _ln(acc, f"{prefix}dec_norm")
+
+    red: Dict[str, Any] = {}
+    red_s: Dict[str, Any] = {}
+    for i in range(num_repeats + 1):
+        cp = f"{prefix}reducer.conv_layers.{i}"
+        # the last head prepends a (param-free) bilinear upsample when
+        # output_scale == 2, shifting Sequential indices by one (``:218-234``)
+        off = 1 if (i == num_repeats and output_scale == 2) else 0
+        for j in range(2):
+            p, s = _convbn(acc, f"{cp}.{j + off}")
+            red[f"conv{i}_{j}"] = p
+            red_s[f"conv{i}_{j}"] = s
+        red[f"conv{i}_out"] = _conv(acc, f"{cp}.{2 + off}", bias=False)
+    for i in range(num_repeats):
+        p, s = _ordered_block(acc, f"{prefix}reducer.attn_layers.{i}",
+                              bias_type)
+        red[f"attn{i}"] = p
+        red_s[f"attn{i}"] = s
+    dec["reducer"] = red
+    dec_s["reducer"] = red_s
+    return dec, dec_s
+
+
+def convert_oda2_decoder(torch_state: Dict[str, np.ndarray],
+                         prefix: str = "",
+                         num_repeats: int = 3,
+                         neck_type: str = "red",
+                         output_scale: int = 4,
+                         bias_type: str = "depth") -> Dict[str, Any]:
+    """Standalone ``OrderedSwin2RegDecoder`` state dict -> our
+    ``OrderedSwin2RegDecoder`` variables {'params', 'batch_stats'}."""
+    acc = KeyAccountant(torch_state)
+    dec, dec_s = _convert_oda2_decoder(
+        acc, prefix, num_repeats, neck_type, output_scale, bias_type)
+    acc.assert_exhausted()
+    return {"params": dec, "batch_stats": dec_s}
+
+
+def convert_oda2_red_order_swin2(torch_state: Dict[str, np.ndarray],
+                                 depths: Tuple[int, ...] = (2, 2, 18, 2),
+                                 num_repeats: int = 3,
+                                 neck_type: str = "red",
+                                 output_scale: int = 4,
+                                 bias_type: str = "depth",
+                                 target_window: Optional[int] = None,
+                                 ) -> Dict[str, Any]:
+    """Full flagship torch state dict (``encoder.*`` + ``decoder.*``, the
+    module layout of ``model/ODA2/oda2_red_order_swin2.py:45-60``) -> our
+    ``ODA2OrderedSwin2RegModel`` variables {'params', 'batch_stats'}.
+
+    Strict both ways: the encoder sub-conversion and the decoder walk each
+    account for every torch key. Covers all six neck types
+    (``oda2_red_order_swin2_decoder.py:315-478``) and both output scales.
+    """
+    enc_state = {k[len("encoder."):]: v for k, v in torch_state.items()
+                 if k.startswith("encoder.")}
+    enc_params = convert_swin_backbone(
+        enc_state, depths=depths, take_out_norms=True,
+        target_window=target_window)
+
+    acc = KeyAccountant(torch_state)
+    for k in torch_state:
+        if k.startswith("encoder."):
+            acc.used.add(k)  # accounted strictly by the sub-conversion above
+
+    dec, dec_s = _convert_oda2_decoder(
+        acc, "decoder.", num_repeats, neck_type, output_scale, bias_type)
+
+    acc.assert_exhausted()
+    return {"params": {"encoder": enc_params, "decoder": dec},
+            "batch_stats": {"decoder": dec_s}}

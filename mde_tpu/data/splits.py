@@ -6,9 +6,9 @@ ONLINE (KITTI benchmark), each with min/max depth, PNG saving factor, default
 train/test sizes, rotation degree and KB-crop behavior.
 
 Split files are the reference's own txt lists (format: ``img gt [focal]`` —
-``dataset/train_test_inputs/{KITTI,NYU}/*.txt``); their location is
-configurable (``split_dir``), defaulting to the mounted reference copy when
-present so the same lists drive both stacks.
+``dataset/train_test_inputs/{KITTI,NYU}/*.txt``). They are data, not code,
+and are vendored into the package (``mde_tpu/data/train_test_inputs``) so the
+repo is self-contained; ``MDE_SPLIT_DIR`` overrides the location.
 """
 
 from __future__ import annotations
@@ -19,7 +19,6 @@ from typing import List, Optional, Tuple
 
 _DEFAULT_SPLIT_DIRS = (
     os.environ.get("MDE_SPLIT_DIR", ""),
-    "/root/reference/dataset/train_test_inputs",
     os.path.join(os.path.dirname(__file__), "train_test_inputs"),
 )
 

@@ -145,7 +145,7 @@ class UpSampleBN(nn.Module):
             x = nn.Conv(self.output_features, (3, 3), padding=1,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                              momentum=1.0 - self.bn_momentum,
                              dtype=self.dtype, param_dtype=jnp.float32,
                              name=f"bn{i}")(x)

@@ -49,7 +49,7 @@ class ConvBN(nn.Module):
         y = pad2d(x, pad, pad, pad, pad, mode="edge")
         y = nn.Conv(self.out_ch, (k, k), padding="VALID", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(y)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                          momentum=1.0 - self.bn_momentum, epsilon=self.bn_eps,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          axis_name=self.axis_name, name="bn")(y)

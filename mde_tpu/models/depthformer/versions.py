@@ -82,7 +82,7 @@ class DepthFormerDecoderV2(nn.Module):
                                drop_prob=self.drop_prob, dtype=self.dtype,
                                name=f"vit{i}")(t, train=train)
             t = t.reshape(b, h, w, c)
-            t = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            t = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train), momentum=0.9,
                              dtype=self.dtype, param_dtype=jnp.float32,
                              name=f"vit_bn{i}")(t)
             return t, attn

@@ -29,6 +29,8 @@ from typing import List
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops import tnn
+
 
 # B0 stage template: (kernel, stride, expand, channels, repeats)
 _B0_STAGES = (
@@ -104,7 +106,7 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(use_running_average=not train,
+        return nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                             momentum=1.0 - self.momentum, epsilon=self.eps,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name="bn")(x)

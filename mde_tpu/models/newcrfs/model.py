@@ -19,6 +19,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import tnn
+
 from ..swin import SwinTransformer
 from .layers import NewCRF
 from ...ops.resize import resize_bilinear, adaptive_avg_pool2d
@@ -58,7 +60,7 @@ class PSP(nn.Module):
                                  epsilon=self.bn_eps, dtype=self.dtype,
                                  param_dtype=jnp.float32, name=f"pool{i}_gn")(y)
             else:
-                y = nn.BatchNorm(use_running_average=not train,
+                y = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                                  momentum=1.0 - self.bn_momentum,
                                  epsilon=self.bn_eps, dtype=self.dtype,
                                  param_dtype=jnp.float32, name=f"pool{i}_bn")(y)
@@ -69,7 +71,7 @@ class PSP(nn.Module):
         y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="bottleneck_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                          momentum=1.0 - self.bn_momentum, epsilon=self.bn_eps,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="bottleneck_bn")(y)

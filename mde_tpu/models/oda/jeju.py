@@ -104,7 +104,7 @@ class JejuFeedForward(nn.Module):
         identity = x_nhwc
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train,
+            return nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                                 momentum=1.0 - self.bn_momentum,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name)
@@ -162,7 +162,7 @@ class SpatialUpsample2d(nn.Module):
                     use_bias=not self.out_bn, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(y)
         if self.out_bn:
-            y = nn.BatchNorm(use_running_average=not train,
+            y = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                              momentum=1.0 - self.bn_momentum,
                              dtype=self.dtype, param_dtype=jnp.float32,
                              name="bn")(y)

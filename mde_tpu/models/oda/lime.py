@@ -44,7 +44,7 @@ class LimeConvBlock(nn.Module):
         identity = x
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train,
+            return nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                                 momentum=1.0 - self.bn_momentum,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name)
@@ -142,7 +142,7 @@ class ODALimeModel(nn.Module):
 
         # image stem: two stride-2 4x4 convs -> 1/4 scale hidden
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train,
+            return nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                                 momentum=1.0 - self.bn_momentum,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name)

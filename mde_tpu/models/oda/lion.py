@@ -95,7 +95,7 @@ class LionFeedForwardConv(nn.Module):
         identity = x
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train,
+            return nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                                 momentum=1.0 - self.bn_momentum,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name)
@@ -190,7 +190,7 @@ class LionLayer(nn.Module):
             hidden = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                   name="out_norm")(hidden)
         else:
-            hidden = nn.BatchNorm(use_running_average=not train,
+            hidden = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                                   momentum=1.0 - self.bn_momentum,
                                   dtype=self.dtype, param_dtype=jnp.float32,
                                   name="out_bn")(hidden)
@@ -218,7 +218,7 @@ class PPMv2(nn.Module):
                         param_dtype=jnp.float32, name=f"reduce{i}")(y)
             spp.append(resize_bilinear(y, (h, w), align_corners=True))
         y = jnp.concatenate(spp, axis=-1)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                          momentum=1.0 - self.bn_momentum, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(y)
         y = tnn.gelu(y)

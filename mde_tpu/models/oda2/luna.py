@@ -124,7 +124,7 @@ class ODA2LunaGating(nn.Module):
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv_out")(y)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
                          momentum=1.0 - self.bn_momentum, epsilon=self.bn_eps,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm_out")(y)

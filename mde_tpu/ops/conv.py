@@ -61,7 +61,7 @@ class ConvBN(nn.Module):
             )(x)
         else:
             x = nn.BatchNorm(
-                use_running_average=not train,
+                use_running_average=tnn.bn_use_running_average(self, train),
                 momentum=1.0 - self.bn_momentum,
                 epsilon=self.bn_eps,
                 dtype=self.dtype,

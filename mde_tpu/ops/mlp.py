@@ -103,7 +103,7 @@ class PreNormDWConvFF(nn.Module):
             dtype=self.dtype, name="conv2",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train,
+            use_running_average=tnn.bn_use_running_average(self, train),
             momentum=1.0 - self.bn_momentum,
             epsilon=self.bn_eps,
             dtype=self.dtype,

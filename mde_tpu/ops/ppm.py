@@ -34,7 +34,7 @@ class PyramidPoolingModule(nn.Module):
 
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=1.0 - self.bn_momentum,
+                use_running_average=tnn.bn_use_running_average(self, train), momentum=1.0 - self.bn_momentum,
                 epsilon=self.bn_eps, dtype=self.dtype, param_dtype=jnp.float32,
                 axis_name=self.axis_name, name=name)
 

@@ -14,9 +14,57 @@ semantics hold everywhere (see ``tests/test_torch_parity.py``).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import flax.linen as nn
 
 LayerNorm = functools.partial(nn.LayerNorm, epsilon=1e-5)
 gelu = functools.partial(nn.gelu, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# BN freeze scopes (reference ``freeze_bn`` -> m.eval(),
+# ``utils/common_utils.py:78-81``)
+# ---------------------------------------------------------------------------
+#
+# The reference's freeze_bn switches BatchNorm modules to eval(): they
+# normalize with RUNNING stats and stop updating them, while the rest of the
+# model keeps training. In flax that choice is per-call, so every BN call
+# site resolves it through ``bn_use_running_average(self, train)``, which
+# consults a trace-time stack of path predicates. ``make_train_step`` pushes a
+# predicate (everything, or the ``encoder`` subtree for
+# ``train.freeze_encoder_bn``) around ``model.apply`` while the frozen step is
+# traced, so the eval-mode normalization is baked into that step's XLA
+# program. Pure trace-time machinery: nothing dynamic remains under jit.
+
+_BN_FREEZE_PREDICATES: list = []
+
+
+@contextlib.contextmanager
+def bn_freeze_scope(predicate=None):
+    """While active (at trace time), BN layers whose module path satisfies
+    ``predicate`` (default: all) normalize with running stats even when
+    ``train=True`` — the reference's ``m.eval()`` freeze semantics."""
+    _BN_FREEZE_PREDICATES.append(predicate or (lambda path: True))
+    try:
+        yield
+    finally:
+        _BN_FREEZE_PREDICATES.pop()
+
+
+def encoder_only(path) -> bool:
+    """Predicate for ``train.freeze_encoder_bn``: the model's ``encoder``
+    submodule subtree."""
+    return len(path) > 0 and path[0] == "encoder"
+
+
+def bn_use_running_average(module: nn.Module, train: bool) -> bool:
+    """Resolve a BN call site's ``use_running_average``: eval mode, or a
+    matching active freeze scope."""
+    if not train:
+        return True
+    if not _BN_FREEZE_PREDICATES:
+        return False
+    path = module.scope.path if module.scope is not None else ()
+    return any(p(path) for p in _BN_FREEZE_PREDICATES)

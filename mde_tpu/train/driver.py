@@ -66,8 +66,11 @@ def build_all(opt: Config, dtype=jnp.float32, model_overrides=None):
     model = build_model(opt, min_depth, max_depth, dtype=dtype,
                         **(model_overrides or {}))
 
-    steps_per_epoch = max(len(train_loader), 1)
+    # one optimizer step consumes num_accum loader batches (reference
+    # accumulation semantics, SURVEY.md §3.1: effective batch =
+    # batch_size * num_accum); the OneCycle schedule runs over optimizer steps
     num_accum = int(opt["train"].get("num_accum", 1))
+    steps_per_epoch = max(len(train_loader) // num_accum, 1)
     total_steps = (int(opt["train"]["epoch"]) * steps_per_epoch)
     tx = build_optimizer(opt, total_steps)
     return (train_loader, test_loader, model, tx, min_depth, max_depth,
@@ -85,9 +88,9 @@ class Trainer:
         if use_mesh:
             import math as _math
             n_dev = len(jax.devices())
-            # the per-microbatch size must split evenly over the data axis
-            micro = max(1, self.train_loader.batch_size
-                        // int(opt["train"].get("num_accum", 1)))
+            # each microbatch is one loader batch; it must split evenly over
+            # the data axis
+            micro = max(1, self.train_loader.batch_size)
             n_data = _math.gcd(micro, n_dev)
             self.mesh = make_mesh(n_data=n_data,
                                   devices=jax.devices()[:n_data])
@@ -134,6 +137,17 @@ class Trainer:
         variables = jax.jit(
             lambda: self.model.init({"params": rng},
                                     sample_batch["image"][:1], train=False))()
+        if bool(self.opt["train"].get("zero_grad_bn", False)):
+            # reference zero_grad_bn (utils/common_utils.py:84-89): BN
+            # parameters never update; needs the params/batch_stats trees to
+            # label BN leaves, so the optimizer is rebuilt here
+            from .optim import bn_label_fn
+            labels = bn_label_fn(jax.device_get(variables["params"]),
+                                 jax.device_get(variables.get("batch_stats",
+                                                              {})))
+            self.tx = build_optimizer(self.opt, self.total_steps,
+                                      bn_labels=labels)
+            self._steps = {}
         self.state = TrainState.create(
             variables["params"], variables.get("batch_stats", {}), self.tx)
         if self.mesh is not None:
@@ -241,7 +255,21 @@ class Trainer:
                          and epoch >= self.freeze_all_bn_epoch)
             step_fn = self._get_step(freeze_bn)
 
+            # the step consumes num_accum loader batches per optimizer step
+            # (reference accumulation: backward each batch, optimizer step
+            # every num_accum — SURVEY.md §3.1); a trailing partial group at
+            # epoch end is dropped, like the reference's drop_last batches
+            accum_buf = []
             for batch in self.train_loader.epoch(epoch):
+                accum_buf.append(batch)
+                if len(accum_buf) < self.num_accum:
+                    continue
+                if self.num_accum == 1:
+                    batch = accum_buf[0]
+                else:
+                    batch = {k: jnp.concatenate([b[k] for b in accum_buf])
+                             for k in accum_buf[0]}
+                accum_buf = []
                 if self.mesh is not None:
                     batch = shard_batch(self.mesh, batch)
                 rng, sub = jax.random.split(rng)

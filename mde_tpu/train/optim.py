@@ -52,8 +52,26 @@ def _encoder_label_fn(params) -> Any:
     return label_tree(params)
 
 
+def bn_label_fn(params, batch_stats) -> Any:
+    """Label each params leaf 'bn' when its module also owns batch stats
+    (mean/var live in ``batch_stats`` at the same path — only BatchNorm does),
+    else 'rest'. Used for the ``train.zero_grad_bn`` equivalent."""
+    def is_bn(path) -> bool:
+        node = batch_stats
+        for k in path[:-1]:
+            key = getattr(k, "key", k)
+            if not isinstance(node, dict) or key not in node:
+                return False
+            node = node[key]
+        return isinstance(node, dict) and "mean" in node and "var" in node
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "bn" if is_bn(path) else "rest", params)
+
+
 def build_optimizer(opt, total_steps: int,
-                    schedule: Optional[optax.Schedule] = None
+                    schedule: Optional[optax.Schedule] = None,
+                    bn_labels: Any = None,
                     ) -> optax.GradientTransformation:
     """AdamW + global-norm clip + (optional) 0.1x encoder lr.
 
@@ -61,6 +79,12 @@ def build_optimizer(opt, total_steps: int,
     every reference config); it is applied to the *accumulated* gradient
     before the update, matching the reconstructed driver semantics
     (SURVEY.md §3.1: clip_grad_norm_ every num_accum steps).
+
+    ``bn_labels`` (a 'bn'/'rest' label tree from :func:`bn_label_fn`) enables
+    the reference's ``zero_grad_bn`` (``utils/common_utils.py:84-89``: BN
+    parameters get ``p.grad = None`` — torch then skips them entirely, so no
+    update, no moment accumulation, no weight decay): BN leaves route to
+    ``set_to_zero`` while everything else sees the normal chain.
     """
     o = opt["optimizer"]
     schedule = schedule or build_lr_schedule(opt, total_steps)
@@ -88,4 +112,8 @@ def build_optimizer(opt, total_steps: int,
     else:
         chain.append(adamw)
 
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if bn_labels is not None:
+        tx = optax.multi_transform(
+            {"bn": optax.set_to_zero(), "rest": tx}, bn_labels)
+    return tx

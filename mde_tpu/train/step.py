@@ -57,26 +57,39 @@ def make_train_step(model, opt, min_depth: float, max_depth: float,
                     donate: bool = True):
     """Build the jitted train step.
 
-    The global batch (size B) is split into ``num_accum`` sequential
-    microbatches scanned inside the step; each microbatch is still sharded
-    over the data mesh axis. BN stats update on each microbatch (carried
-    through the scan) unless ``freeze_bn``.
+    The step receives ``num_accum`` loader batches stacked along the batch
+    axis (the reference accumulates gradients over ``num_accum`` *loader
+    batches* before each optimizer step, so the effective batch is
+    ``batch_size * num_accum`` — SURVEY.md §3.1) and scans over them as
+    microbatches. Each microbatch is still sharded over the data mesh axis.
+    BN stats update on each microbatch (carried through the scan) unless
+    frozen.
     """
+    from ..ops import tnn
+
     depth_loss = DepthLoss(opt["loss"], min_depth, max_depth)
+
+    def _freeze_ctx():
+        # reference freeze_bn = m.eval(): BN normalizes with RUNNING stats
+        # and stops updating them from the freeze epoch on
+        # (utils/common_utils.py:78-81); freeze_encoder_bn applies the same
+        # to the encoder subtree only (config train.freeze_encoder_bn)
+        if freeze_bn:
+            return tnn.bn_freeze_scope()
+        if freeze_encoder_bn:
+            return tnn.bn_freeze_scope(tnn.encoder_only)
+        import contextlib
+        return contextlib.nullcontext()
 
     def loss_fn(params, batch_stats, images, depths, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        out, updates = model.apply(variables, images, train=True,
-                                   rngs={"dropout": rng},
-                                   mutable=["batch_stats"])
-        # freeze_bn: BN still normalizes with batch statistics but the
-        # running stats stay frozen (reference freeze_bn semantics,
-        # utils/common_utils.py:78-81); freeze_encoder_bn pins only the
-        # encoder subtree (config train.freeze_encoder_bn)
-        new_stats = batch_stats if freeze_bn else updates["batch_stats"]
-        if freeze_encoder_bn and not freeze_bn and "encoder" in batch_stats:
-            new_stats = dict(new_stats)
-            new_stats["encoder"] = batch_stats["encoder"]
+        with _freeze_ctx():
+            out, updates = model.apply(variables, images, train=True,
+                                       rngs={"dropout": rng},
+                                       mutable=["batch_stats"])
+        # frozen BNs run with use_running_average=True inside the scope, so
+        # their entries in updates["batch_stats"] are already unchanged
+        new_stats = updates["batch_stats"]
         outs, centers = adapter(out)
         loss, logs = depth_loss(outs, depths, bin_centers=centers)
         return loss, (new_stats, logs)

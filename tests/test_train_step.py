@@ -140,13 +140,15 @@ def test_lr_schedule_onecycle_shape():
 
 
 def test_freeze_encoder_bn_pins_encoder_stats():
-    """train.freeze_encoder_bn keeps encoder BN running stats fixed while the
-    rest of the batch_stats update (reference utils/common_utils.py:78-81)."""
+    """train.freeze_encoder_bn switches encoder BNs to eval mode — they
+    normalize with running stats and stop updating them — while the rest of
+    the batch_stats update (reference utils/common_utils.py:78-81)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     import flax.linen as nn
     from mde_tpu.core.config import load_config
+    from mde_tpu.ops import tnn
     from mde_tpu.train.optim import build_optimizer
     from mde_tpu.train.state import TrainState
     from mde_tpu.train.step import make_train_step
@@ -154,13 +156,17 @@ def test_freeze_encoder_bn_pins_encoder_stats():
     class Enc(nn.Module):
         @nn.compact
         def __call__(self, x, train=False):
-            return nn.BatchNorm(use_running_average=not train, name="bn")(x)
+            return nn.BatchNorm(
+                use_running_average=tnn.bn_use_running_average(self, train),
+                name="bn")(x)
 
     class Model(nn.Module):
         @nn.compact
         def __call__(self, x, train=False):
             h = Enc(name="encoder")(x, train)
-            h = nn.BatchNorm(use_running_average=not train, name="bn_dec")(h)
+            h = nn.BatchNorm(
+                use_running_average=tnn.bn_use_running_average(self, train),
+                name="bn_dec")(h)
             return (nn.sigmoid(nn.Dense(1)(h).mean(axis=-1, keepdims=True)),)
 
     model = Model()
@@ -187,3 +193,96 @@ def test_freeze_encoder_bn_pins_encoder_stats():
     dec_after = jax.tree_util.tree_leaves(new_state.batch_stats["bn_dec"])
     assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
                for a, b in zip(dec_before, dec_after))
+
+
+def test_bn_freeze_scope_normalizes_with_running_stats():
+    """Inside bn_freeze_scope, a BN call with train=True behaves exactly like
+    eval mode: it normalizes with RUNNING stats (reference freeze_bn =
+    m.eval(), utils/common_utils.py:78-81), not batch statistics."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from mde_tpu.ops import tnn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.BatchNorm(
+                use_running_average=tnn.bn_use_running_average(self, train),
+                name="bn")(x)
+
+    m = M()
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 8, 8, 3) * 3 + 1,
+                    jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # make the running stats distinct from the batch statistics
+    variables = jax.device_get(variables)
+    variables["batch_stats"]["bn"]["mean"] = np.full(3, 0.5, np.float32)
+    variables["batch_stats"]["bn"]["var"] = np.full(3, 4.0, np.float32)
+
+    eval_out = m.apply(variables, x, train=False)
+    with tnn.bn_freeze_scope():
+        frozen_out, updates = m.apply(variables, x, train=True,
+                                      mutable=["batch_stats"])
+    live_out = m.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+
+    np.testing.assert_allclose(np.asarray(frozen_out), np.asarray(eval_out),
+                               rtol=1e-6)
+    assert np.abs(np.asarray(live_out) - np.asarray(eval_out)).max() > 1e-3
+    # frozen stats unchanged
+    np.testing.assert_array_equal(
+        np.asarray(updates["batch_stats"]["bn"]["mean"]),
+        variables["batch_stats"]["bn"]["mean"])
+
+
+def test_zero_grad_bn_pins_bn_params():
+    """train.zero_grad_bn (reference utils/common_utils.py:84-89, p.grad=None
+    on BN modules): BN scale/bias never update while other params do. BN
+    leaves are identified by their module owning mean/var batch stats."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from mde_tpu.core.config import load_config
+    from mde_tpu.ops import tnn
+    from mde_tpu.train.optim import build_optimizer, bn_label_fn
+    from mde_tpu.train.state import TrainState
+    from mde_tpu.train.step import make_train_step
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.BatchNorm(
+                use_running_average=tnn.bn_use_running_average(self, train),
+                name="bn")(x)
+            h = nn.LayerNorm(name="ln")(h)
+            return (nn.sigmoid(nn.Dense(1)(h).mean(axis=-1, keepdims=True)),)
+
+    model = Model()
+    opt = load_config({"loss": {"alpha": 10.0, "beta": 0.15},
+                       "optimizer": {"lr": 1e-3, "weight_decay": 0.0},
+                       "train": {"zero_grad_bn": True}})
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 8, 8, 3), jnp.float32)
+    d = jnp.asarray(np.random.RandomState(1).uniform(1, 5, (4, 8, 8, 1)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    labels = bn_label_fn(jax.device_get(variables["params"]),
+                         jax.device_get(variables["batch_stats"]))
+    # sanity: BN leaves labelled bn, LayerNorm (also scale/bias) stays rest
+    assert labels["bn"] == {"scale": "bn", "bias": "bn"}
+    assert labels["ln"] == {"scale": "rest", "bias": "rest"}
+
+    tx = build_optimizer(opt, total_steps=10, bn_labels=labels)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_train_step(model, opt, 0.1, 10.0, tx, donate=False)
+    new_state, _ = step(state, {"image": x, "depth": d}, jax.random.PRNGKey(1))
+
+    np.testing.assert_array_equal(np.asarray(new_state.params["bn"]["scale"]),
+                                  np.asarray(state.params["bn"]["scale"]))
+    np.testing.assert_array_equal(np.asarray(new_state.params["bn"]["bias"]),
+                                  np.asarray(state.params["bn"]["bias"]))
+    assert np.abs(np.asarray(new_state.params["ln"]["scale"])
+                  - np.asarray(state.params["ln"]["scale"])).max() > 0
+    assert np.abs(np.asarray(new_state.params["Dense_0"]["kernel"])
+                  - np.asarray(state.params["Dense_0"]["kernel"])).max() > 0
