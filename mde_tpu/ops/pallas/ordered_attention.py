@@ -20,8 +20,16 @@ Both matmuls run in f32 so the selected table entries are bit-exact with the
 XLA gather. Attention itself (QK^T, PV) stays in the input dtype with f32
 accumulation. No (.., N, N, heads) tensor ever leaves VMEM.
 
-Gradients: ``custom_vjp`` — backward recomputes via the XLA path, giving
-exact grads for q/k/v *and the bias table*.
+Gradients: ``custom_vjp`` with a fused Pallas backward. Scores/probabilities
+(including the one-hot bias lookup) are recomputed per window block in VMEM,
+``dS = P*(dP - rowsum(dP*P))`` yields dq/dk/dv via MXU dots, and the bias-
+table gradient rides the Toeplitz trick transposed:
+
+    dM_h = sum_t oh_q[t]^T @ dS_h[t] @ oh_k[t]   (accumulated across grid
+                                                  steps in a revisited block)
+    dT[r, h] = sum_{a-b+E-1 = r} dM[a, h*E + b]  (tiny XLA segment-sum)
+
+No (.., N, N, heads) tensor touches HBM in either direction.
 """
 
 from __future__ import annotations
@@ -165,6 +173,136 @@ def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
     )(*args)
 
 
+def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
+                *refs):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref = next(it), next(it), next(it), next(it)
+    i_ref = next(it) if has_bias else None
+    m_ref = next(it) if has_bias else None
+    dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
+    dm_ref = next(it) if has_bias else None
+
+    q = q_ref[:]  # (TB, N, C)
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
+    tb, n, c = q.shape
+    nh = num_heads
+    hd = c // nh
+    e = num_emb
+
+    if m_ref is not None:
+        idx = i_ref[:]                                   # (TB, N) int32
+        iota_qe = jax.lax.broadcasted_iota(jnp.int32, (tb, n, e), 2)
+        oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)   # (TB, N, E)
+        iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
+        oh_kt = (iota_ek == idx[:, None, :]).astype(jnp.float32)  # (TB, E, N)
+        g_row = jax.lax.dot_general(
+            oh_q, m_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (TB, N, nh*E)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dm_ref[:] = jnp.zeros_like(dm_ref)
+    else:
+        oh_q = oh_kt = g_row = None
+
+    qs = q * jnp.asarray(scale, q.dtype)
+    qk_dims = (((2,), (2,)), ((0,), (0,)))   # contract minor dim -> (TB, N, N)
+    bias_dims = (((2,), (1,)), ((0,), (0,)))
+    row_dims = (((1,), (1,)), ((0,), (0,)))  # contract query dim -> (TB, Nk, hd)
+    col_dims = (((2,), (1,)), ((0,), (0,)))  # contract key dim   -> (TB, Nq, hd)
+    both_dims = (((0, 1), (0, 1)), ((), ()))  # contract TB and N -> (E, E)
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(qs[:, :, sl], k[:, :, sl], qk_dims,
+                                preferred_element_type=jnp.float32)
+        if g_row is not None:
+            bias = jax.lax.dot_general(
+                g_row[:, :, h * e:(h + 1) * e], oh_kt, bias_dims,
+                preferred_element_type=jnp.float32)      # (TB, N, N)
+            s = s + bias
+        p = jax.nn.softmax(s, axis=-1)                   # f32 (TB, N, N)
+        dp = jax.lax.dot_general(do[:, :, sl], v[:, :, sl], qk_dims,
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        p_lo = p.astype(do.dtype)
+        ds_lo = ds.astype(q.dtype)
+        dv = jax.lax.dot_general(p_lo, do[:, :, sl], row_dims,
+                                 preferred_element_type=jnp.float32)
+        dq = jax.lax.dot_general(ds_lo, k[:, :, sl], col_dims,
+                                 preferred_element_type=jnp.float32)
+        dq = dq * jnp.asarray(scale, jnp.float32)
+        dk = jax.lax.dot_general(ds_lo, qs[:, :, sl], row_dims,
+                                 preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+        if dm_ref is not None:
+            # dM_h[a, b] = sum_{t,q,k: i_q=a, i_k=b} dS_h[t,q,k]
+            # z[t, q, b] = sum_k dS[t, q, k] * [idx_k[t, k] == b]
+            z = jax.lax.dot_general(ds, oh_kt, qk_dims,
+                                    preferred_element_type=jnp.float32)
+            dm_h = jax.lax.dot_general(oh_q, z, both_dims,
+                                       preferred_element_type=jnp.float32)
+            dm_ref[:, h * e:(h + 1) * e] += dm_h
+
+
+def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
+                                  num_emb, interpret: bool):
+    bw, n, c = q.shape
+    itemsize = jnp.dtype(q.dtype).itemsize
+    nh = num_heads
+    e = num_emb
+    has_bias = table is not None
+    per_window = (7 * n * c * itemsize * 2
+                  + 5 * n * n * 4
+                  + ((n * nh * e + 3 * n * e) * 4 if has_bias else 0))
+    shared = (2 * e * nh * e * 4) if has_bias else 0
+    tb = _pick_tb(bw, None, per_window, budget=8 * 1024 * 1024 - shared)
+    grid = (bw // tb,)
+
+    def blk(shape):
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [blk((tb, n, c))] * 4
+    args = [q, k, v, do]
+    if has_bias:
+        m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
+        in_specs.append(blk((tb, n)))
+        in_specs.append(pl.BlockSpec(m_all.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += [idx.astype(jnp.int32), m_all]
+
+    out_shape = [jax.ShapeDtypeStruct((bw, n, c), q.dtype)] * 3
+    out_specs = [blk((tb, n, c)) for _ in range(3)]
+    if has_bias:
+        out_shape.append(jax.ShapeDtypeStruct((e, nh * e), jnp.float32))
+        out_specs.append(pl.BlockSpec((e, nh * e), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_bwd_kernel, nh, float(scale), e, has_bias)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*args)
+    dq, dk, dv = outs[:3]
+    if not has_bias:
+        return dq, dk, dv, None
+
+    # fold dM (E, nh*E) back onto the (2E-1, nh) table: dT[a-b+E-1, h] +=
+    # dM[a, h*E + b] — tiny, XLA
+    dm = outs[3].reshape(e, nh, e).transpose(0, 2, 1).reshape(e * e, nh)
+    rel = (jnp.arange(e)[:, None] - jnp.arange(e)[None, :] + e - 1).ravel()
+    dt = jax.ops.segment_sum(dm, rel, num_segments=2 * e - 1)
+    return dq, dk, dv, dt.astype(table.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _fused(q, k, v, idx, table, num_heads, scale, num_emb, interpret):
     return _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale,
@@ -179,11 +317,8 @@ def _fused_fwd(q, k, v, idx, table, num_heads, scale, num_emb, interpret):
 
 def _fused_bwd(num_heads, scale, num_emb, interpret, res, g):
     q, k, v, idx, table = res
-    def ref(q_, k_, v_, t_):
-        return xla_ordered_attention(q_, k_, v_, idx, t_, num_heads, scale,
-                                     num_emb)
-    _, vjp = jax.vjp(ref, q, k, v, table)
-    dq, dk, dv, dt = vjp(g)
+    dq, dk, dv, dt = _pallas_ordered_attention_bwd(
+        q, k, v, g, idx, table, num_heads, scale, num_emb, interpret)
     return dq, dk, dv, None, dt
 
 

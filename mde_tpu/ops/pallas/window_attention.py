@@ -11,8 +11,14 @@ Per head, scores are a batched MXU dot ``(TB, N, hd) x (TB, N, hd) ->
 (TB, N, N)`` kept in VMEM through bias/mask add and a f32 softmax, then the
 PV dot writes the head's lane slice of the output block.
 
-Gradients: ``custom_vjp`` — backward recomputes attention via the XLA einsum
-path (exactly differentiable, same memory profile as the non-fused forward).
+Gradients: ``custom_vjp`` with a fused Pallas backward — flash-style: scores
+and probabilities are recomputed per window block in VMEM from the saved
+q/k/v (never hitting HBM), then ``dS = P*(dP - rowsum(dP*P))`` yields dq/dk/dv
+with three more MXU dots. The rel-pos-bias gradient accumulates across grid
+steps into a revisited output block (TPU grids are sequential). HBM traffic of
+the backward is exactly the IO tensors (q/k/v/do in, dq/dk/dv out) — the XLA
+recompute path it replaces materialized the (BW, heads, N, N) probabilities
+twice.
 """
 
 from __future__ import annotations
@@ -147,6 +153,114 @@ def _pallas_window_attention(q, k, v, bias, mask, num_heads, scale,
     )(*args)
 
 
+def _bwd_kernel(num_heads: int, scale: float, has_bias: bool, has_mask: bool,
+                *refs):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref = next(it), next(it), next(it), next(it)
+    b_ref = next(it) if has_bias else None
+    m_ref = next(it) if has_mask else None
+    dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
+    db_ref = next(it) if has_bias else None
+
+    q = q_ref[:]  # (TB, N, C)
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
+    tb, n, c = q.shape
+    hd = c // num_heads
+    mask = m_ref[:].astype(jnp.float32) if m_ref is not None else None
+
+    if db_ref is not None:
+        # revisited accumulator block (constant index map, sequential grid)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            db_ref[:] = jnp.zeros_like(db_ref)
+
+    qs = q * jnp.asarray(scale, q.dtype)
+    qk_dims = (((2,), (2,)), ((0,), (0,)))   # contract hd       -> (TB, N, N)
+    row_dims = (((1,), (1,)), ((0,), (0,)))  # contract query dim -> (TB, Nk, hd)
+    col_dims = (((2,), (1,)), ((0,), (0,)))  # contract key dim   -> (TB, Nq, hd)
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(qs[:, :, sl], k[:, :, sl], qk_dims,
+                                preferred_element_type=jnp.float32)
+        if b_ref is not None:
+            s = s + b_ref[h].astype(jnp.float32)[None]
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1)                       # f32 (TB, N, N)
+        dp = jax.lax.dot_general(do[:, :, sl], v[:, :, sl], qk_dims,
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        p_lo = p.astype(do.dtype)
+        ds_lo = ds.astype(q.dtype)
+        dv = jax.lax.dot_general(p_lo, do[:, :, sl], row_dims,
+                                 preferred_element_type=jnp.float32)
+        dq = jax.lax.dot_general(ds_lo, k[:, :, sl], col_dims,
+                                 preferred_element_type=jnp.float32)
+        dq = dq * jnp.asarray(scale, jnp.float32)
+        dk = jax.lax.dot_general(ds_lo, qs[:, :, sl], row_dims,
+                                 preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+        if db_ref is not None:
+            db_ref[h] += jnp.sum(ds, axis=0)
+
+
+def _pallas_window_attention_bwd(q, k, v, do, bias, mask, num_heads, scale,
+                                 interpret: bool):
+    bw, n, c = q.shape
+    nw = mask.shape[0] if mask is not None else None
+    itemsize = jnp.dtype(q.dtype).itemsize
+    nh = num_heads
+    # 7 double-buffered IO blocks + 4 f32 score-sized temporaries + mask
+    per_window = (7 * n * c * itemsize * 2
+                  + 4 * n * n * 4
+                  + (n * n * 4 * 2 if mask is not None else 0))
+    shared = (2 * nh * n * n * 4) if bias is not None else 0
+    tb = _pick_tb(bw, nw, per_window, budget=8 * 1024 * 1024 - shared)
+    grid = (bw // tb,)
+
+    def blk():
+        return pl.BlockSpec((tb, n, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+
+    in_specs = [blk(), blk(), blk(), blk()]
+    args = [q, k, v, do]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32))
+    if mask is not None:
+        nwb = nw // tb
+        in_specs.append(pl.BlockSpec((tb, n, n), lambda i: (i % nwb, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(mask, jnp.float32))
+
+    out_shape = [jax.ShapeDtypeStruct((bw, n, c), q.dtype)] * 3
+    out_specs = [pl.BlockSpec((tb, n, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM) for _ in range(3)]
+    if bias is not None:
+        out_shape.append(jax.ShapeDtypeStruct((nh, n, n), jnp.float32))
+        out_specs.append(pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_bwd_kernel, nh, float(scale),
+                               bias is not None, mask is not None)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*args)
+    dq, dk, dv = outs[:3]
+    db = outs[3].astype(bias.dtype) if bias is not None else None
+    return dq, dk, dv, db
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _fused(q, k, v, bias, mask, num_heads, scale, interpret):
     return _pallas_window_attention(q, k, v, bias, mask, num_heads, scale,
@@ -161,10 +275,8 @@ def _fused_fwd(q, k, v, bias, mask, num_heads, scale, interpret):
 
 def _fused_bwd(num_heads, scale, interpret, res, g):
     q, k, v, bias, mask = res
-    def ref(q_, k_, v_, b_):
-        return xla_window_attention(q_, k_, v_, b_, mask, num_heads, scale)
-    _, vjp = jax.vjp(ref, q, k, v, bias)
-    dq, dk, dv, db = vjp(g)
+    dq, dk, dv, db = _pallas_window_attention_bwd(
+        q, k, v, g, bias, mask, num_heads, scale, interpret)
     dm = None if mask is None else jnp.zeros_like(mask)
     return dq, dk, dv, db, dm
 

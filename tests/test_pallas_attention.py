@@ -45,18 +45,25 @@ def test_window_attention_parity(with_bias, with_mask):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_window_attention_grad():
-    nh, n, c, bw = 2, 16, 32, 8
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_window_attention_grad(with_mask):
+    nh, n, c = 2, 16, 32
+    h = w = 8
+    r = 4
+    nw = (h // r) * (w // r)
+    bw = 2 * nw  # two batches: exercises the bias-grad accumulation revisit
     q, k, v = _qkv(jax.random.PRNGKey(2), bw, n, c)
     bias = jax.random.normal(jax.random.PRNGKey(3), (nh, n, n), jnp.float32)
+    mask = (jnp.asarray(shifted_window_attn_mask(h, w, r, 2))
+            if with_mask else None)
 
     def loss_fused(q, k, v, b):
-        o = fused_window_attention(q, k, v, b, None, nh, 0.25,
+        o = fused_window_attention(q, k, v, b, mask, nh, 0.25,
                                    impl="pallas_interpret")
         return jnp.sum(o ** 2)
 
     def loss_ref(q, k, v, b):
-        return jnp.sum(xla_window_attention(q, k, v, b, None, nh, 0.25) ** 2)
+        return jnp.sum(xla_window_attention(q, k, v, b, mask, nh, 0.25) ** 2)
 
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
@@ -82,7 +89,9 @@ def test_ordered_attention_parity(with_table):
 
 
 def test_ordered_attention_grad():
-    nh, n, c, e, bw = 2, 16, 32, 16, 4
+    # n != e on purpose: catches transposed contractions in the bias-table
+    # gradient that would silently shape-match when n == e
+    nh, n, c, e, bw = 2, 16, 32, 24, 4
     q, k, v = _qkv(jax.random.PRNGKey(7), bw, n, c)
     idx = jax.random.randint(jax.random.PRNGKey(8), (bw, n), 0, e)
     table = jax.random.normal(jax.random.PRNGKey(9), (2 * e - 1, nh),
