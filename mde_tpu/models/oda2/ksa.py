@@ -39,16 +39,24 @@ from ..swin import swin_base, swin_large, SwinTransformer, SwinBlock
 
 
 class KernelWindowAttention(nn.Module):
-    """(reference ``KernelWindowAttention``, ``oda2_ksa_decoder.py:49-103``)."""
+    """(reference ``KernelWindowAttention``, ``oda2_ksa_decoder.py:49-103``).
+
+    ``attn_impl``: 'auto' routes through the fused channel-attention Pallas
+    kernel on TPU (rectangular hd x enc_hd scores stay in VMEM); train-time
+    attention dropout forces the XLA einsum path.
+    """
 
     num_heads: int
     qkv_bias: bool = True
     attn_drop_prob: float = 0.0
     drop_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, enc: jnp.ndarray, train: bool = False):
+        from ...ops.pallas import resolve_impl, fused_channel_attention
+
         bw, n, c = x.shape
         enc_c = enc.shape[-1]
         nh = self.num_heads
@@ -62,18 +70,25 @@ class KernelWindowAttention(nn.Module):
                       kernel_init=trunc_normal_init(0.02), name="kv")(enc)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        q = q.reshape(bw, n, nh, c // nh)
-        k = k.reshape(bw, n, nh, enc_c // nh)
-        v = v.reshape(bw, n, nh, enc_c // nh)
+        scale = math.sqrt(1.0 / n)
+        impl = resolve_impl(self.attn_impl)
+        use_fused = impl != "xla" and not (train and self.attn_drop_prob > 0)
 
-        # channel-channel attention inside each window: (bw, nh, hd, enc_hd)
-        attn = jnp.einsum("bnhd,bnhe->bhde", q, k)
-        attn = attn * math.sqrt(1.0 / n)
-        attn = nn.softmax(jnp.asarray(attn, jnp.float32), axis=-1)
-        attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(
-            attn.astype(self.dtype))
+        if use_fused:
+            out = fused_channel_attention(q, k, v, nh, scale, impl=impl)
+        else:
+            q = q.reshape(bw, n, nh, c // nh)
+            k = k.reshape(bw, n, nh, enc_c // nh)
+            v = v.reshape(bw, n, nh, enc_c // nh)
 
-        out = jnp.einsum("bhde,bnhe->bnhd", attn, v).reshape(bw, n, c)
+            # channel-channel attention inside each window: (bw, nh, hd, enc_hd)
+            attn = jnp.einsum("bnhd,bnhe->bhde", q, k)
+            attn = attn * scale
+            attn = nn.softmax(jnp.asarray(attn, jnp.float32), axis=-1)
+            attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(
+                attn.astype(self.dtype))
+
+            out = jnp.einsum("bhde,bnhe->bnhd", attn, v).reshape(bw, n, c)
         out = nn.Dense(c, use_bias=True, dtype=self.dtype,
                        param_dtype=jnp.float32,
                        kernel_init=trunc_normal_init(0.02), name="proj")(out)

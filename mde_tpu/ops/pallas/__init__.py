@@ -6,10 +6,10 @@ Dispatch policy: modules take an ``attn_impl`` knob with values
 * ``"pallas"`` — force the fused kernel (compiled on TPU, interpreted on CPU)
 * ``"xla"``    — force the reference einsum path
 
-The kernels are inference/forward-optimized; gradients flow through a
-``custom_vjp`` whose backward recomputes attention with the XLA path, so
-training remains exactly differentiable while the forward avoids the
-(B·nW, heads, N, N) HBM materializations.
+Both directions are fused: forwards avoid the (B·nW, heads, N, N) HBM
+materializations, and the ``custom_vjp`` backwards are flash-style Pallas
+kernels that recompute scores/probabilities in VMEM (``dS = P*(dP -
+rowsum(dP*P))``) instead of round-tripping them through XLA.
 """
 
 from __future__ import annotations
@@ -47,10 +47,12 @@ def resolve_impl(impl: str) -> str:
 
 from .window_attention import fused_window_attention  # noqa: E402
 from .ordered_attention import fused_ordered_window_attention  # noqa: E402
+from .channel_attention import fused_channel_attention  # noqa: E402
 
 __all__ = [
     "fused_window_attention",
     "fused_ordered_window_attention",
+    "fused_channel_attention",
     "resolve_impl",
     "default_backend_is_tpu",
 ]

@@ -144,7 +144,14 @@ def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
                   + (n * num_heads * num_emb * 4
                      + 2 * n * num_emb * 4 if table is not None else 0)
                   + 2 * n * n * 4)
-    tb = _pick_tb(bw, None, per_window)
+    # compiled path: the (TB, N) int32 index block needs TB % 8 == 0 (Mosaic
+    # sublane tiling); interpret mode has no such constraint (CPU tests use
+    # tiny BW)
+    min_tb = 8 if (table is not None and not interpret) else 1
+    tb = _pick_tb(bw, None, per_window, min_tb=min_tb)
+    if tb is None:
+        return xla_ordered_attention(q, k, v, idx, table, num_heads, scale,
+                                     num_emb)
     grid = (bw // tb,)
 
     def blk(shape):
@@ -197,30 +204,31 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
         oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)   # (TB, N, E)
         iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
         oh_kt = (iota_ek == idx[:, None, :]).astype(jnp.float32)  # (TB, E, N)
-        g_row = jax.lax.dot_general(
-            oh_q, m_ref[:], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (TB, N, nh*E)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             dm_ref[:] = jnp.zeros_like(dm_ref)
     else:
-        oh_q = oh_kt = g_row = None
+        oh_q = oh_kt = None
 
     qs = q * jnp.asarray(scale, q.dtype)
     qk_dims = (((2,), (2,)), ((0,), (0,)))   # contract minor dim -> (TB, N, N)
     bias_dims = (((2,), (1,)), ((0,), (0,)))
     row_dims = (((1,), (1,)), ((0,), (0,)))  # contract query dim -> (TB, Nk, hd)
     col_dims = (((2,), (1,)), ((0,), (0,)))  # contract key dim   -> (TB, Nq, hd)
-    both_dims = (((0, 1), (0, 1)), ((), ()))  # contract TB and N -> (E, E)
+    flat_dims = (((0,), (0,)), ((), ()))     # contract TB*N      -> (E, E)
     for h in range(nh):
         sl = slice(h * hd, (h + 1) * hd)
         s = jax.lax.dot_general(qs[:, :, sl], k[:, :, sl], qk_dims,
                                 preferred_element_type=jnp.float32)
-        if g_row is not None:
-            bias = jax.lax.dot_general(
-                g_row[:, :, h * e:(h + 1) * e], oh_kt, bias_dims,
-                preferred_element_type=jnp.float32)      # (TB, N, N)
+        if oh_q is not None:
+            # per-head row gather (vs one (TB, N, nh*E) precompute): keeps the
+            # working set small enough for the TB >= 8 block floor
+            g_h = jax.lax.dot_general(
+                oh_q, m_ref[:, h * e:(h + 1) * e], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (TB, N, E)
+            bias = jax.lax.dot_general(g_h, oh_kt, bias_dims,
+                                       preferred_element_type=jnp.float32)
             s = s + bias
         p = jax.nn.softmax(s, axis=-1)                   # f32 (TB, N, N)
         dp = jax.lax.dot_general(do[:, :, sl], v[:, :, sl], qk_dims,
@@ -243,7 +251,10 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
             # z[t, q, b] = sum_k dS[t, q, k] * [idx_k[t, k] == b]
             z = jax.lax.dot_general(ds, oh_kt, qk_dims,
                                     preferred_element_type=jnp.float32)
-            dm_h = jax.lax.dot_general(oh_q, z, both_dims,
+            # flatten (TB, N) into one contraction: Mosaic only lowers plain /
+            # single-batch matmuls, not multi-dim contractions
+            dm_h = jax.lax.dot_general(oh_q.reshape(tb * n, e),
+                                       z.reshape(tb * n, e), flat_dims,
                                        preferred_element_type=jnp.float32)
             dm_ref[:, h * e:(h + 1) * e] += dm_h
 
@@ -257,9 +268,20 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
     has_bias = table is not None
     per_window = (7 * n * c * itemsize * 2
                   + 5 * n * n * 4
-                  + ((n * nh * e + 3 * n * e) * 4 if has_bias else 0))
+                  + (4 * n * e * 4 if has_bias else 0))
     shared = (2 * e * nh * e * 4) if has_bias else 0
-    tb = _pick_tb(bw, None, per_window, budget=8 * 1024 * 1024 - shared)
+    min_tb = 8 if (has_bias and not interpret) else 1
+    tb = _pick_tb(bw, None, per_window, budget=8 * 1024 * 1024 - shared,
+                  min_tb=min_tb)
+    if tb is None:
+        # no admissible block size (BW not a multiple of 8): exact XLA
+        # recompute backward
+        def f(q_, k_, v_, t_):
+            return xla_ordered_attention(q_, k_, v_, idx, t_, num_heads,
+                                         scale, num_emb)
+        _, vjp = jax.vjp(f, q, k, v, table)
+        dq, dk, dv, dt = vjp(do)
+        return dq, dk, dv, dt
     grid = (bw // tb,)
 
     def blk(shape):

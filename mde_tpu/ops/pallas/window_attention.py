@@ -34,20 +34,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_tb(bw: int, nw: Optional[int],
              bytes_per_window: int = 0,
-             budget: int = 8 * 1024 * 1024) -> int:
+             budget: int = 8 * 1024 * 1024,
+             min_tb: int = 1) -> Optional[int]:
     """Largest window-block size that divides BW (and nW when masked) and
     keeps the per-program VMEM footprint under ``budget`` (the hardware
     scoped-vmem limit is 16 MB and Mosaic's real stack allocation runs up to
     ~30% over these estimates, so budget conservatively; block IO buffers are
     double-buffered by the pipeline, which ``bytes_per_window`` estimates
-    must account for)."""
+    must account for).
+
+    ``min_tb``: hard floor on the block size — kernels whose blocks carry a
+    2-D int32 ref (e.g. the ordered-attention index block (TB, N)) need
+    TB % 8 == 0 to satisfy Mosaic's sublane tiling. The floor wins over the
+    budget (the budget is ~2x conservative vs the 16 MB hardware limit);
+    returns None when no divisor >= min_tb exists (caller falls back to the
+    XLA path)."""
+    fallback = None
     for tb in (16, 8, 4, 2, 1):
+        if tb < min_tb:
+            break
         if bw % tb != 0 or (nw is not None and nw % tb != 0):
             continue
-        if bytes_per_window and tb * bytes_per_window > budget and tb > 1:
+        fallback = tb  # smallest admissible divisor seen (may be over budget)
+        if bytes_per_window and tb * bytes_per_window > budget:
             continue
         return tb
-    return 1
+    return fallback if min_tb > 1 else (fallback or 1)
 
 
 def xla_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
