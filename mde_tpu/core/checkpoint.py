@@ -605,7 +605,8 @@ def _ordered_block(acc: KeyAccountant, prefix: str, bias_type: str):
 
 def _convert_oda2_decoder(acc: KeyAccountant, prefix: str,
                           num_repeats: int, neck_type: str,
-                          output_scale: int, bias_type: str):
+                          output_scale: int, bias_type: str,
+                          scan_repeats: bool = True):
     """Reference ``OrderedSwin2RegDecoder`` subtree (keys under ``prefix``)
     -> our decoder (params, batch_stats)."""
     dec: Dict[str, Any] = {}
@@ -649,21 +650,41 @@ def _convert_oda2_decoder(acc: KeyAccountant, prefix: str,
 
     red: Dict[str, Any] = {}
     red_s: Dict[str, Any] = {}
+    per_rep: list = []
+    per_rep_s: list = []
     for i in range(num_repeats + 1):
         cp = f"{prefix}reducer.conv_layers.{i}"
         # the last head prepends a (param-free) bilinear upsample when
         # output_scale == 2, shifting Sequential indices by one (``:218-234``)
         off = 1 if (i == num_repeats and output_scale == 2) else 0
+        head: Dict[str, Any] = {}
+        head_s: Dict[str, Any] = {}
         for j in range(2):
-            p, s = _convbn(acc, f"{cp}.{j + off}")
-            red[f"conv{i}_{j}"] = p
-            red_s[f"conv{i}_{j}"] = s
-        red[f"conv{i}_out"] = _conv(acc, f"{cp}.{2 + off}", bias=False)
+            head[f"conv_{j}"], head_s[f"conv_{j}"] = _convbn(
+                acc, f"{cp}.{j + off}")
+        head["conv_out"] = _conv(acc, f"{cp}.{2 + off}", bias=False)
+        if i < num_repeats and scan_repeats:
+            per_rep.append(head)
+            per_rep_s.append(head_s)
+        else:
+            for j in range(2):
+                red[f"conv{i}_{j}"] = head[f"conv_{j}"]
+                red_s[f"conv{i}_{j}"] = head_s[f"conv_{j}"]
+            red[f"conv{i}_out"] = head["conv_out"]
     for i in range(num_repeats):
         p, s = _ordered_block(acc, f"{prefix}reducer.attn_layers.{i}",
                               bias_type)
-        red[f"attn{i}"] = p
-        red_s[f"attn{i}"] = s
+        if scan_repeats:
+            per_rep[i]["attn"] = p
+            per_rep_s[i]["attn"] = s
+        else:
+            red[f"attn{i}"] = p
+            red_s[f"attn{i}"] = s
+    if scan_repeats and num_repeats >= 1:
+        # stack the per-repeat trees along a leading axis: the nn.scan head
+        # layout (``OrderedSwinRegHead.scan_repeats``, params under repeat/)
+        red["repeat"] = _stack_trees(per_rep)
+        red_s["repeat"] = _stack_trees(per_rep_s)
     dec["reducer"] = red
     dec_s["reducer"] = red_s
     return dec, dec_s
@@ -674,12 +695,14 @@ def convert_oda2_decoder(torch_state: Dict[str, np.ndarray],
                          num_repeats: int = 3,
                          neck_type: str = "red",
                          output_scale: int = 4,
-                         bias_type: str = "depth") -> Dict[str, Any]:
+                         bias_type: str = "depth",
+                         scan_repeats: bool = True) -> Dict[str, Any]:
     """Standalone ``OrderedSwin2RegDecoder`` state dict -> our
     ``OrderedSwin2RegDecoder`` variables {'params', 'batch_stats'}."""
     acc = KeyAccountant(torch_state)
     dec, dec_s = _convert_oda2_decoder(
-        acc, prefix, num_repeats, neck_type, output_scale, bias_type)
+        acc, prefix, num_repeats, neck_type, output_scale, bias_type,
+        scan_repeats)
     acc.assert_exhausted()
     return {"params": dec, "batch_stats": dec_s}
 
@@ -691,6 +714,7 @@ def convert_oda2_red_order_swin2(torch_state: Dict[str, np.ndarray],
                                  output_scale: int = 4,
                                  bias_type: str = "depth",
                                  target_window: Optional[int] = None,
+                                 scan_repeats: bool = True,
                                  ) -> Dict[str, Any]:
     """Full flagship torch state dict (``encoder.*`` + ``decoder.*``, the
     module layout of ``model/ODA2/oda2_red_order_swin2.py:45-60``) -> our
@@ -712,7 +736,8 @@ def convert_oda2_red_order_swin2(torch_state: Dict[str, np.ndarray],
             acc.used.add(k)  # accounted strictly by the sub-conversion above
 
     dec, dec_s = _convert_oda2_decoder(
-        acc, "decoder.", num_repeats, neck_type, output_scale, bias_type)
+        acc, "decoder.", num_repeats, neck_type, output_scale, bias_type,
+        scan_repeats)
 
     acc.assert_exhausted()
     return {"params": {"encoder": enc_params, "decoder": dec},

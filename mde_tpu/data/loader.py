@@ -35,6 +35,10 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.device_augment = device_augment and dataset.mode == "train"
+        # eval/predict decode raw [0,1] images and normalize ON DEVICE (one
+        # normalization); only host-parity *training* (host_augment) goes
+        # through __getitem__, which returns already-normalized images
+        self.eval_raw = dataset.mode != "train"
         self.seed = seed
         self.prefetch = prefetch
 
@@ -62,7 +66,7 @@ class DataLoader:
         return idx
 
     def _stack(self, samples) -> Dict[str, np.ndarray]:
-        if self.device_augment:
+        if self.device_augment or self.eval_raw:
             images = np.stack([s[0] for s in samples])
             depths = np.stack([s[1] for s in samples])
             focals = np.asarray([s[2] for s in samples], np.float32)
@@ -77,7 +81,8 @@ class DataLoader:
         indices = self._epoch_indices(epoch)
         nb = len(self)
         key = jax.random.PRNGKey(self.seed * 100003 + epoch)
-        load = self.dataset.load_raw if self.device_augment \
+        load = self.dataset.load_raw \
+            if (self.device_augment or self.eval_raw) \
             else self.dataset.__getitem__
 
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
@@ -113,8 +118,11 @@ class DataLoader:
                     key, sub = jax.random.split(key)
                     images, depths = device_augment_batch(
                         self.aug_cfg, sub, images, depths)
-                else:
+                elif self.eval_raw:
                     images = normalize_eval_batch(images)
+                # else: host-parity train batches arrive from __getitem__
+                # already ImageNet-normalized — normalizing again here was
+                # exactly the eval double-normalization bug this split fixes
                 yield {"image": images, "depth": depths, "focal": host["focal"]}
 
     def __iter__(self):

@@ -1,1 +1,2 @@
 from .model import NewCRFDepth
+from .uper import UPerHead

@@ -79,9 +79,70 @@ class OrderedSwinBlock(nn.Module):
         return x, (attn1, attn2)
 
 
+def _quantize_logit(logit: jnp.ndarray, num_emb: int) -> jnp.ndarray:
+    """sigmoid(logit) -> [0, num_emb) index map, no grad (reference
+    ``oda2_red_order_swin2_decoder.py:246-253``). The reference's
+    floor(p*E - 1e-3) yields -1 for p < 7.8e-6, which torch index-wraps to
+    the last table row; we clamp to 0 instead (in-range behavior identical).
+    """
+    p = jax.nn.sigmoid(jax.lax.stop_gradient(logit))
+    idx = jnp.floor(p * num_emb - 1e-3)
+    return jnp.clip(idx, 0, num_emb - 1).astype(jnp.int32)[..., 0]
+
+
+class OrderedRepeatCell(nn.Module):
+    """One head repeat — conv head (logit) + ordered Swin block — as the
+    unit scanned by ``nn.scan`` (params gain a leading num_repeats axis).
+    Matches the unrolled loop body in ``OrderedSwinRegHead`` exactly; names
+    are index-free (``conv_0``/``conv_1``/``conv_out``/``attn``) since the
+    repeat index rides the stacked-param axis instead."""
+
+    num_heads: int
+    num_emb: int
+    window_size: int = 8
+    feedforward_dims: Optional[int] = None
+    attn_drop_prob: float = 0.0
+    drop_prob: float = 0.0
+    bias_type: str = "depth"
+    bias_init: str = "linear"
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        in_dims = x.shape[-1]
+        ck = dict(bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+                  dtype=self.dtype)
+        logit = ConvBN(in_dims // 4, 3, name="conv_0", **ck)(x, train)
+        logit = ConvBN(in_dims // 4, 3, name="conv_1", **ck)(logit, train)
+        logit = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv_out")(logit)
+        out = jax.nn.sigmoid(logit)
+
+        indices = _quantize_logit(logit, self.num_emb)
+        x, _ = OrderedSwinBlock(
+            num_heads=self.num_heads, num_emb=self.num_emb,
+            window_size=self.window_size,
+            feedforward_dims=self.feedforward_dims,
+            attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+            bias_type=self.bias_type, bias_init=self.bias_init,
+            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            dtype=self.dtype, return_weights=False, name="attn",
+        )(x, indices, train)
+        return x, out
+
+
 class OrderedSwinRegHead(nn.Module):
     """Iterative ordered refinement head (reference ``OrderedSwinRegHead``,
-    ``oda2_red_order_swin2_decoder.py:184-281``)."""
+    ``oda2_red_order_swin2_decoder.py:184-281``).
+
+    ``scan_repeats`` (default): the repeats run under ``nn.scan`` — ONE
+    compiled repeat body instead of ``num_repeats`` unrolled ones (2 ordered-
+    attention Pallas call sites instead of 2x num_repeats; ~3x smaller head
+    HLO on the slow remote-compile path), with per-repeat params stacked
+    under ``repeat/``. ``return_weights`` forces the unrolled layout (the
+    per-repeat attention maps are a debugging output)."""
 
     num_heads: int
     num_repeats: int
@@ -98,6 +159,7 @@ class OrderedSwinRegHead(nn.Module):
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
+    scan_repeats: bool = True
 
     def _conv_head(self, in_dims: int, index: int, upsample: bool):
         """ConvBN -> ConvBN -> 1x1 conv to one channel (logit)."""
@@ -116,18 +178,40 @@ class OrderedSwinRegHead(nn.Module):
         return apply
 
     def _logit_to_indices(self, logit: jnp.ndarray) -> jnp.ndarray:
-        """Quantize sigmoid(logit) into [0, num_emb) index map, no grad
-        (reference ``:246-253``). The reference's floor(p*E - 1e-3) yields -1
-        for p < 7.8e-6, which torch index-wraps to the last table row; we
-        clamp to 0 instead (the in-range behavior is identical)."""
-        p = jax.nn.sigmoid(jax.lax.stop_gradient(logit))
-        idx = jnp.floor(p * self.num_emb - 1e-3)
-        return jnp.clip(idx, 0, self.num_emb - 1).astype(jnp.int32)[..., 0]
+        return _quantize_logit(logit, self.num_emb)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         in_dims = x.shape[-1]
         assert self.output_scale in (2, 4)
+
+        if (self.scan_repeats and self.num_repeats >= 1
+                and not self.return_weights):
+            cell_cls = OrderedRepeatCell
+            if self.use_checkpoint:
+                cell_cls = nn.remat(OrderedRepeatCell, static_argnums=(2,))
+            scan_cls = nn.scan(
+                cell_cls,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,),
+                length=self.num_repeats,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            x, stacked = scan_cls(
+                num_heads=self.num_heads, num_emb=self.num_emb,
+                window_size=self.window_size,
+                feedforward_dims=self.feedforward_dims,
+                attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+                bias_type=self.bias_type, bias_init=self.bias_init,
+                bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+                dtype=self.dtype, name="repeat",
+            )(x, train)
+            outs = [stacked[i] for i in range(self.num_repeats)]
+            logit = self._conv_head(in_dims, self.num_repeats,
+                                    upsample=self.output_scale == 2)(x, train)
+            outs.append(jax.nn.sigmoid(logit))
+            return tuple(outs), ()
 
         outs = []
         attn_weights = ()
@@ -179,6 +263,7 @@ class OrderedSwin2RegDecoder(nn.Module):
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
+    scan_repeats: bool = True
 
     @nn.compact
     def __call__(self, enc_features: Tuple[jnp.ndarray, ...], train: bool = False):
@@ -272,8 +357,8 @@ class OrderedSwin2RegDecoder(nn.Module):
             output_scale=self.output_scale, bias_type=self.bias_type,
             bias_init=self.bias_init, bn_momentum=self.bn_momentum,
             bn_eps=self.bn_eps, use_checkpoint=self.use_checkpoint,
-            dtype=self.dtype,
-            return_weights=self.return_weights, name="reducer",
+            dtype=self.dtype, return_weights=self.return_weights,
+            scan_repeats=self.scan_repeats, name="reducer",
         )(dec, train=train)
 
 
@@ -320,6 +405,7 @@ class ODA2OrderedSwin2RegModel(nn.Module):
     path_drop_prob: float = 0.2
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
+    scan_repeats: bool = True
     # test-size override for tiny configs (tests / dryrun): skip 224-multiple resize
     resize_to_multiple: bool = True
     encoder_kwargs: Optional[dict] = None
@@ -356,8 +442,8 @@ class ODA2OrderedSwin2RegModel(nn.Module):
             bias_type=self.bias_type, bias_init=self.bias_init,
             neck_type=self.neck_type, bn_momentum=self.bn_momentum,
             bn_eps=self.bn_eps, use_checkpoint=self.use_checkpoint,
-            dtype=self.dtype,
-            return_weights=self.return_weights, name="decoder",
+            dtype=self.dtype, return_weights=self.return_weights,
+            scan_repeats=self.scan_repeats, name="decoder",
         )(features, train=train)
 
         outs = tuple(jnp.asarray(o, jnp.float32) * self.max_depth for o in outs)
@@ -385,6 +471,7 @@ class ODA2OrderedSwin2RegModel(nn.Module):
             neck_type=opt.get("neck_type", "red"),
             bn_momentum=opt.get("bn_momentum", 0.1),
             bn_eps=opt.get("bn_eps", 1e-5),
+            scan_repeats=opt.get("scan_repeats", True),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

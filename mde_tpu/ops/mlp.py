@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -75,6 +76,16 @@ class PreNormDWConvFF(nn.Module):
     Token MLP with a 5x5 depthwise conv (replicate pad) + BN + GELU between the
     GLU gate and the down-projection. Operates on (B, H, W, C) so the
     depthwise conv needs no layout shuffling on TPU.
+
+    ``ff_impl='pallas'`` opts in to the fused Pallas pass
+    (``ops/pallas/glu_ff.py``): gate + conv + BN(folded affine) + GELU in one
+    HBM read/write, valid whenever BN normalizes with running stats (eval
+    mode or an active ``freeze_bn`` scope; BN-training mode always keeps the
+    unfused path — batch stats need the materialized conv output). NOT the
+    default: measured end-to-end on v5e the halo-kernel tap loop loses to
+    XLA's native grouped-conv pipeline (flagship batch-8 inference 17.8 vs
+    26.7 img/s) — the kernel is kept for parity coverage and future Mosaic
+    tuning (see glu_ff.py header).
     """
 
     feedforward_dims: Optional[int] = None
@@ -85,33 +96,57 @@ class PreNormDWConvFF(nn.Module):
     bn_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    ff_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from .pallas.glu_ff import fused_glu_dwconv_bn_gelu
+
         in_dims = x.shape[-1]
         hidden = self.feedforward_dims or 4 * in_dims
         identity = x
 
         x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = _dense(hidden * 2, self.dtype, "lin1")(x)
-        # GLU over the channel dim: first half * sigmoid(second half)
-        a, b = jnp.split(x, 2, axis=-1)
-        x = a * nn.sigmoid(b)
 
-        x = DepthwiseConv2d(
+        conv = DepthwiseConv2d(
             kernel_size=self.kernel_size, padding_mode="edge",
             dtype=self.dtype, name="conv2",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=tnn.bn_use_running_average(self, train),
+        )
+        use_running_average = tnn.bn_use_running_average(self, train)
+        bn = nn.BatchNorm(
+            use_running_average=use_running_average,
             momentum=1.0 - self.bn_momentum,
             epsilon=self.bn_eps,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name,
             name="bn2",
-        )(x)
-        x = self.act(x)
+        )
+
+        # explicit opt-in only ('auto' stays unfused — see class docstring);
+        # the GELU identity check guards the fused epilogue's hardcoded erf
+        impl = self.ff_impl
+        fused_ok = (use_running_average
+                    and impl in ("pallas", "pallas_interpret")
+                    and self.act is tnn.gelu)
+        if fused_ok:
+            # bind conv/bn variables without running them (the dummy result
+            # is unused -> dead-code-eliminated under jit); then fold BN into
+            # an affine and run the fused gate+conv+BN+GELU kernel
+            _ = bn(conv(jnp.zeros((1, 1, 1, hidden), self.dtype)))
+            w = conv.variables["params"]["kernel"].astype(self.dtype)
+            bn_p = bn.variables["params"]
+            bn_s = bn.variables["batch_stats"]
+            s = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + self.bn_eps)
+            t = bn_p["bias"] - bn_s["mean"] * s
+            x = fused_glu_dwconv_bn_gelu(x, w, s, t, impl=impl)
+        else:
+            # GLU over the channel dim: first half * sigmoid(second half)
+            a, b = jnp.split(x, 2, axis=-1)
+            x = a * nn.sigmoid(b)
+            x = bn(conv(x))
+            x = self.act(x)
 
         x = _dense(in_dims, self.dtype, "lin3")(x)
         x = nn.Dropout(self.drop_prob, deterministic=not train)(x)

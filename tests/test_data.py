@@ -220,3 +220,20 @@ def test_real_nyu_train_region_masking(tmp_path):
     assert np.all(d[:45, :] == 0) and np.all(d[472:, :] == 0)
     assert np.all(d[:, :43] == 0) and np.all(d[:, 608:] == 0)
     np.testing.assert_allclose(d[45:472, 43:608], 3.0, atol=1e-4)
+
+
+def test_eval_loader_single_normalization():
+    """Eval batches are ImageNet-normalized exactly ONCE (regression: the
+    eval path used to host-normalize in __getitem__ and then re-clip +
+    re-normalize on device)."""
+    from mde_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+    ds = DepthDataset("/nonexistent", "NYU", "test", synthetic_len=2)
+    raw_img = ds.load_raw(0)[0]
+    want = (np.clip(raw_img, 0.0, 1.0) - IMAGENET_MEAN) / IMAGENET_STD
+
+    dl = DataLoader(ds, batch_size=1, shuffle=False, device_augment=False,
+                    drop_last=False)
+    batch = next(iter(dl))
+    np.testing.assert_allclose(np.asarray(batch["image"][0]), want,
+                               rtol=1e-5, atol=1e-5)

@@ -111,3 +111,50 @@ def test_output_scale_2():
     vs = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x))()
     out, outs, _ = jax.jit(lambda v, xx: m.apply(v, xx))(vs, x)
     assert out.shape == (1, 16, 16, 1)
+
+
+def test_scan_repeats_matches_unrolled():
+    """nn.scan'ed head repeats are numerically identical to the unrolled
+    loop given the same params (restacked along the repeat axis)."""
+    from mde_tpu.models.oda2.red_order_swin2 import OrderedSwinRegHead
+
+    R = 3
+    kwargs = dict(num_heads=2, num_repeats=R, num_emb=16, window_size=4,
+                  output_scale=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
+
+    mod_u = OrderedSwinRegHead(scan_repeats=False, **kwargs)
+    vs_u = mod_u.init(jax.random.PRNGKey(1), x)
+    outs_u, _ = mod_u.apply(vs_u, x)
+
+    def restack(col):
+        names = [f"conv{i}_" for i in range(R)] + [f"attn{i}" for i in range(R)]
+        rep = [{"conv_0": col[f"conv{i}_0"], "conv_1": col[f"conv{i}_1"],
+                **({"conv_out": col[f"conv{i}_out"]}
+                   if f"conv{i}_out" in col else {}),
+                **({"attn": col[f"attn{i}"]} if f"attn{i}" in col else {})}
+               for i in range(R)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *rep)
+        rest = {k: v for k, v in col.items()
+                if not any(k.startswith(p) for p in names)}
+        return {"repeat": stacked, **rest}
+
+    vs_s = {"params": restack(vs_u["params"]),
+            "batch_stats": restack(vs_u["batch_stats"])}
+    mod_s = OrderedSwinRegHead(scan_repeats=True, **kwargs)
+    # layouts line up with a fresh scan init
+    want = jax.tree.map(lambda a: a.shape, mod_s.init(jax.random.PRNGKey(2), x))
+    got = jax.tree.map(lambda a: a.shape, vs_s)
+    assert want == got
+    outs_s, _ = mod_s.apply(vs_s, x)
+    assert len(outs_s) == len(outs_u) == R + 1
+    for a, b in zip(outs_u, outs_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # train mode (BN batch stats under scan + dropout rng splitting) runs
+    (outs_t, _), updates = mod_s.apply(
+        vs_s, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)})
+    assert "repeat" in updates["batch_stats"]
+    assert len(outs_t) == R + 1

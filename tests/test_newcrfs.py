@@ -57,3 +57,32 @@ def test_version_table():
     # reference NewCRFDepth.py:28-42 version parsing
     m = NewCRFDepth(version="large07")
     assert int(m.version[-2:]) == 7
+
+
+def test_uperhead_fpn_forward():
+    """UPerHead (reference uper_crf_head.py:255-314, present-unused there):
+    lateral 1x1 -> top-down bilinear adds -> 3x3 smoothing, finest map out."""
+    from mde_tpu.models.newcrfs import UPerHead
+
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(i), (2, 16 // s, 24 // s, 8 * s))
+        for i, s in enumerate((1, 2, 4, 8))
+    ]
+    head = UPerHead(channels=16)
+    params = head.init(jax.random.PRNGKey(9), feats)
+    out = head.apply(params, feats)
+    assert out.shape == (2, 16, 24, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # ReLU output, and the top-down path must mix coarse levels into the
+    # finest map: zeroing the coarsest input must change the output
+    assert float(jnp.min(out)) >= 0.0
+    feats2 = feats[:3] + [jnp.zeros_like(feats[3])]
+    out2 = head.apply(params, feats2)
+    assert float(jnp.max(jnp.abs(out2 - out))) > 0
+
+    # norm variant: bias-free convs + BN (mmcv ConvModule rule)
+    head_bn = UPerHead(channels=16, use_norm=True)
+    vars_bn = head_bn.init(jax.random.PRNGKey(10), feats)
+    assert "bn" in str(sorted(vars_bn["params"].keys()))
+    out_bn = head_bn.apply(vars_bn, feats)
+    assert out_bn.shape == (2, 16, 24, 16)

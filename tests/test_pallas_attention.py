@@ -2,8 +2,8 @@
 
 Run in interpreter mode on CPU (conftest forces the cpu platform); the same
 kernels compile with Mosaic on TPU. Values must match the XLA path to f32
-tolerance; gradients flow through the custom_vjp (XLA recompute) and must
-match differentiating the XLA path directly.
+tolerance; gradients flow through the fused Pallas custom_vjp backwards and
+must match differentiating the XLA path directly.
 """
 
 import jax
@@ -159,6 +159,60 @@ def test_ordered_module_impl_parity():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("c,ec", [(32, 32), (32, 64), (48, 16)])
+def test_channel_attention_parity(c, ec):
+    """Rectangular hd x enc_hd channel attention (KSA) matches XLA."""
+    from mde_tpu.ops.pallas.channel_attention import (
+        fused_channel_attention, xla_channel_attention)
+    nh, n, bw = 4, 49, 8
+    q = jax.random.normal(jax.random.PRNGKey(0), (bw, n, c), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (bw, n, ec), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (bw, n, ec), jnp.float32)
+    scale = n ** -0.5
+    ref = xla_channel_attention(q, k, v, nh, scale)
+    out = fused_channel_attention(q, k, v, nh, scale,
+                                  impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_channel_attention_grad():
+    from mde_tpu.ops.pallas.channel_attention import (
+        fused_channel_attention, xla_channel_attention)
+    nh, n, c, ec, bw = 2, 16, 16, 32, 4  # rectangular hd != ehd
+    q = jax.random.normal(jax.random.PRNGKey(3), (bw, n, c), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (bw, n, ec), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (bw, n, ec), jnp.float32)
+    scale = n ** -0.5
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(fused_channel_attention(
+        q, k, v, nh, scale, impl="pallas_interpret") ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        xla_channel_attention(q, k, v, nh, scale) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_window_attention_module_impl_parity():
+    """The flax KernelWindowAttention module matches on both paths."""
+    from mde_tpu.models.oda2.ksa import KernelWindowAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 32), jnp.float32)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 64), jnp.float32)
+
+    mod = KernelWindowAttention(num_heads=2, attn_impl="xla")
+    params = mod.init(jax.random.PRNGKey(2), x, enc)
+    ref = mod.apply(params, x, enc)
+
+    mod2 = KernelWindowAttention(num_heads=2, attn_impl="pallas_interpret")
+    out = mod2.apply(params, x, enc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("shape,k", [
     ((2, 16, 24, 8), 5),
     ((1, 9, 13, 16), 3),
@@ -171,6 +225,75 @@ def test_depthwise_kernel_parity(shape, k):
     ref = xla_depthwise_conv2d(x, w)
     out = fused_depthwise_conv2d(x, w, impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((2, 16, 24, 8), 5),
+    ((1, 9, 13, 16), 3),
+])
+def test_glu_ff_kernel_parity(shape, k):
+    """Fused GLU+dwconv+BN(affine)+GELU matches the unfused composite."""
+    from mde_tpu.ops.pallas.glu_ff import (
+        fused_glu_dwconv_bn_gelu, xla_glu_dwconv_bn_gelu)
+    c = shape[-1]
+    ab = jax.random.normal(jax.random.PRNGKey(0), shape[:3] + (2 * c,),
+                           jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, k, c), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(2), (c,), jnp.float32)
+    t = jax.random.normal(jax.random.PRNGKey(3), (c,), jnp.float32)
+    ref = xla_glu_dwconv_bn_gelu(ab, w, s, t)
+    out = fused_glu_dwconv_bn_gelu(ab, w, s, t, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_glu_ff_kernel_grad():
+    from mde_tpu.ops.pallas.glu_ff import (
+        fused_glu_dwconv_bn_gelu, xla_glu_dwconv_bn_gelu)
+    ab = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 8), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(6), (8,), jnp.float32)
+    t = jax.random.normal(jax.random.PRNGKey(7), (8,), jnp.float32)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_glu_dwconv_bn_gelu(
+        *a, impl="pallas_interpret") ** 2), argnums=(0, 1, 2, 3))(ab, w, s, t)
+    gr = jax.grad(lambda *a: jnp.sum(xla_glu_dwconv_bn_gelu(*a) ** 2),
+                  argnums=(0, 1, 2, 3))(ab, w, s, t)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_prenorm_dwconv_ff_fused_module_parity():
+    """PreNormDWConvFF eval forward matches between fused and unfused paths
+    (same params, incl. non-trivial BN running stats)."""
+    from mde_tpu.ops.mlp import PreNormDWConvFF
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16, 8), jnp.float32)
+
+    ref_mod = PreNormDWConvFF(feedforward_dims=16, ff_impl="xla")
+    variables = ref_mod.init(jax.random.PRNGKey(1), x)
+    # perturb running stats away from init (mean 0 / var 1)
+    stats = jax.tree.map(lambda a: a + 0.25, variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    ref = ref_mod.apply(variables, x)
+    out = PreNormDWConvFF(feedforward_dims=16,
+                          ff_impl="pallas_interpret").apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # train=True with BN active must keep the unfused path (batch stats):
+    # fused and xla modules must agree there too (both unfused)
+    ref_t, _ = ref_mod.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+    out_t, _ = PreNormDWConvFF(feedforward_dims=16,
+                               ff_impl="pallas_interpret").apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
                                rtol=1e-5, atol=1e-5)
 
 
