@@ -86,8 +86,20 @@ def xla_ordered_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(bw, n, c)
 
 
+def _cross_window_kill(n: int, pack: int) -> Optional[jnp.ndarray]:
+    """(N, N) additive f32 mask killing logits between the `pack` windows
+    sharing one attention instance (Swin's -100 convention; cross leakage
+    through softmax is ~e^-100, below f32 resolution). None when pack == 1."""
+    if pack <= 1:
+        return None
+    n0 = n // pack
+    iq = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // n0
+    ik = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // n0
+    return jnp.where(iq == ik, 0.0, -100.0).astype(jnp.float32)
+
+
 def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
-            *refs):
+            pack: int, *refs):
     if has_bias:
         q_ref, k_ref, v_ref, i_ref, m_ref, o_ref = refs
     else:
@@ -102,41 +114,73 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
     hd = c // nh
     e = num_emb
 
+    # Precision policy (measured, see BASELINE.md): f32 inputs take
+    # full-precision MXU passes everywhere — the default single pass rounds
+    # f32 operands to bf16, costing 1e-2 deviations vs the XLA path, and the
+    # one-hot gathers must select table entries exactly for the f32 parity
+    # tests. bf16 production inputs keep DEFAULT single passes on every dot:
+    # Mosaic rejects HIGHEST on bf16 operands ("Bad lhs type"), and the
+    # gathers dominate this kernel's FLOPs (N*E vs N*hd contractions — ~4x
+    # the attention dots), so tripling their passes costs ~6% end-to-end
+    # while the ~0.4% bf16 table rounding is below the bf16 noise floor of
+    # the surrounding compute.
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     if m_ref is not None:
-        idx = i_ref[:]                                   # (TB, N) int32
+        idx = i_ref[:, 0, :]                             # (TB, N) int32; the
+        # (TB, 1, N) block layout keeps N on the lane dim so TB is not
+        # pinned to sublane multiples (a (TB, N) int32 block needs TB % 8)
         iota_qe = jax.lax.broadcasted_iota(jnp.int32, (tb, n, e), 2)
         oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)   # (TB, N, E)
         iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
         oh_kt = (iota_ek == idx[:, None, :]).astype(jnp.float32)  # (TB, E, N)
-        # row gather: G[t, q, h*E + b] = T[i_q - b + E - 1, h]
-        g = jax.lax.dot_general(
-            oh_q, m_ref[:], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (TB, N, nh*E)
+        # row gather: G[t, q, h*E + b] = T[i_q - b + E - 1, h]. Packed
+        # blocks (2N tokens) gather per head inside the loop instead — the
+        # full (TB, N, nh*E) f32 precompute is what pushes the packed
+        # working set past the 16 MB scoped-vmem limit.
+        g = None
+        if pack == 1:
+            g = jax.lax.dot_general(
+                oh_q, m_ref[:], (((2,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32)      # (TB, N, nh*E)
     else:
-        oh_kt = g = None
+        oh_q = oh_kt = g = None
 
     q = q * jnp.asarray(scale, q.dtype)
+    kill = _cross_window_kill(n, pack)
     qk_dims = (((2,), (2,)), ((0,), (0,)))
     bias_dims = (((2,), (1,)), ((0,), (0,)))
     pv_dims = (((2,), (1,)), ((0,), (0,)))
     for h in range(nh):
         sl = slice(h * hd, (h + 1) * hd)
         s = jax.lax.dot_general(q[:, :, sl], k[:, :, sl], qk_dims,
+                                precision=prec,
                                 preferred_element_type=jnp.float32)
-        if g is not None:
+        if kill is not None:
+            s = s + kill[None]
+        if oh_q is not None:
+            g_h = g[:, :, h * e:(h + 1) * e] if g is not None else \
+                jax.lax.dot_general(
+                    oh_q, m_ref[:, h * e:(h + 1) * e], (((2,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # (TB, N, E)
             # column gather: bias[t, q, k'] = G[t, q, i_k'] (head h slab)
             bias = jax.lax.dot_general(
-                g[:, :, h * e:(h + 1) * e], oh_kt, bias_dims,
+                g_h, oh_kt, bias_dims,
+                precision=prec,
                 preferred_element_type=jnp.float32)      # (TB, N, N)
             s = s + bias
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         o = jax.lax.dot_general(p, v[:, :, sl], pv_dims,
+                                precision=prec,
                                 preferred_element_type=jnp.float32)
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
 def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
-                              interpret: bool) -> jnp.ndarray:
+                              pack: int, interpret: bool) -> jnp.ndarray:
     bw, n, c = q.shape
     itemsize = jnp.dtype(q.dtype).itemsize
     # 4 double-buffered IO blocks + f32 G + one-hots + scores/probs
@@ -144,14 +188,7 @@ def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
                   + (n * num_heads * num_emb * 4
                      + 2 * n * num_emb * 4 if table is not None else 0)
                   + 2 * n * n * 4)
-    # compiled path: the (TB, N) int32 index block needs TB % 8 == 0 (Mosaic
-    # sublane tiling); interpret mode has no such constraint (CPU tests use
-    # tiny BW)
-    min_tb = 8 if (table is not None and not interpret) else 1
-    tb = _pick_tb(bw, None, per_window, min_tb=min_tb)
-    if tb is None:
-        return xla_ordered_attention(q, k, v, idx, table, num_heads, scale,
-                                     num_emb)
+    tb = _pick_tb(bw, None, per_window)
     grid = (bw // tb,)
 
     def blk(shape):
@@ -163,13 +200,13 @@ def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
     has_bias = table is not None
     if has_bias:
         m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
-        in_specs.append(blk((tb, n)))
+        in_specs.append(blk((tb, 1, n)))
         in_specs.append(pl.BlockSpec(m_all.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        args += [idx.astype(jnp.int32), m_all]
+        args += [idx.astype(jnp.int32).reshape(bw, 1, n), m_all]
 
     kernel = functools.partial(_kernel, num_heads, float(scale), num_emb,
-                               has_bias)
+                               has_bias, pack)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -181,7 +218,7 @@ def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
 
 
 def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
-                *refs):
+                pack: int, *refs):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref = next(it), next(it), next(it), next(it)
     i_ref = next(it) if has_bias else None
@@ -199,7 +236,9 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
     e = num_emb
 
     if m_ref is not None:
-        idx = i_ref[:]                                   # (TB, N) int32
+        idx = i_ref[:, 0, :]                             # (TB, N) int32; the
+        # (TB, 1, N) block layout keeps N on the lane dim so TB is not
+        # pinned to sublane multiples (a (TB, N) int32 block needs TB % 8)
         iota_qe = jax.lax.broadcasted_iota(jnp.int32, (tb, n, e), 2)
         oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)   # (TB, N, E)
         iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
@@ -212,6 +251,9 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
         oh_q = oh_kt = None
 
     qs = q * jnp.asarray(scale, q.dtype)
+    kill = _cross_window_kill(n, pack)
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     qk_dims = (((2,), (2,)), ((0,), (0,)))   # contract minor dim -> (TB, N, N)
     bias_dims = (((2,), (1,)), ((0,), (0,)))
     row_dims = (((1,), (1,)), ((0,), (0,)))  # contract query dim -> (TB, Nk, hd)
@@ -220,28 +262,37 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
     for h in range(nh):
         sl = slice(h * hd, (h + 1) * hd)
         s = jax.lax.dot_general(qs[:, :, sl], k[:, :, sl], qk_dims,
+                                precision=prec,
                                 preferred_element_type=jnp.float32)
+        if kill is not None:
+            s = s + kill[None]
         if oh_q is not None:
             # per-head row gather (vs one (TB, N, nh*E) precompute): keeps the
             # working set small enough for the TB >= 8 block floor
             g_h = jax.lax.dot_general(
                 oh_q, m_ref[:, h * e:(h + 1) * e], (((2,), (0,)), ((), ())),
+                precision=prec,
                 preferred_element_type=jnp.float32)      # (TB, N, E)
             bias = jax.lax.dot_general(g_h, oh_kt, bias_dims,
+                                       precision=prec,
                                        preferred_element_type=jnp.float32)
             s = s + bias
         p = jax.nn.softmax(s, axis=-1)                   # f32 (TB, N, N)
         dp = jax.lax.dot_general(do[:, :, sl], v[:, :, sl], qk_dims,
+                                 precision=prec,
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         p_lo = p.astype(do.dtype)
         ds_lo = ds.astype(q.dtype)
         dv = jax.lax.dot_general(p_lo, do[:, :, sl], row_dims,
+                                 precision=prec,
                                  preferred_element_type=jnp.float32)
         dq = jax.lax.dot_general(ds_lo, k[:, :, sl], col_dims,
+                                 precision=prec,
                                  preferred_element_type=jnp.float32)
         dq = dq * jnp.asarray(scale, jnp.float32)
         dk = jax.lax.dot_general(ds_lo, qs[:, :, sl], row_dims,
+                                 precision=prec,
                                  preferred_element_type=jnp.float32)
         dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
@@ -250,17 +301,19 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
             # dM_h[a, b] = sum_{t,q,k: i_q=a, i_k=b} dS_h[t,q,k]
             # z[t, q, b] = sum_k dS[t, q, k] * [idx_k[t, k] == b]
             z = jax.lax.dot_general(ds, oh_kt, qk_dims,
+                                    precision=prec,
                                     preferred_element_type=jnp.float32)
             # flatten (TB, N) into one contraction: Mosaic only lowers plain /
             # single-batch matmuls, not multi-dim contractions
             dm_h = jax.lax.dot_general(oh_q.reshape(tb * n, e),
                                        z.reshape(tb * n, e), flat_dims,
+                                       precision=prec,
                                        preferred_element_type=jnp.float32)
             dm_ref[:, h * e:(h + 1) * e] += dm_h
 
 
 def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
-                                  num_emb, interpret: bool):
+                                  num_emb, pack: int, interpret: bool):
     bw, n, c = q.shape
     itemsize = jnp.dtype(q.dtype).itemsize
     nh = num_heads
@@ -270,18 +323,7 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
                   + 5 * n * n * 4
                   + (4 * n * e * 4 if has_bias else 0))
     shared = (2 * e * nh * e * 4) if has_bias else 0
-    min_tb = 8 if (has_bias and not interpret) else 1
-    tb = _pick_tb(bw, None, per_window, budget=8 * 1024 * 1024 - shared,
-                  min_tb=min_tb)
-    if tb is None:
-        # no admissible block size (BW not a multiple of 8): exact XLA
-        # recompute backward
-        def f(q_, k_, v_, t_):
-            return xla_ordered_attention(q_, k_, v_, idx, t_, num_heads,
-                                         scale, num_emb)
-        _, vjp = jax.vjp(f, q, k, v, table)
-        dq, dk, dv, dt = vjp(do)
-        return dq, dk, dv, dt
+    tb = _pick_tb(bw, None, per_window, budget=8 * 1024 * 1024 - shared)
     grid = (bw // tb,)
 
     def blk(shape):
@@ -292,10 +334,10 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
     args = [q, k, v, do]
     if has_bias:
         m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
-        in_specs.append(blk((tb, n)))
+        in_specs.append(blk((tb, 1, n)))
         in_specs.append(pl.BlockSpec(m_all.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        args += [idx.astype(jnp.int32), m_all]
+        args += [idx.astype(jnp.int32).reshape(bw, 1, n), m_all]
 
     out_shape = [jax.ShapeDtypeStruct((bw, n, c), q.dtype)] * 3
     out_specs = [blk((tb, n, c)) for _ in range(3)]
@@ -304,7 +346,8 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
         out_specs.append(pl.BlockSpec((e, nh * e), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_bwd_kernel, nh, float(scale), e, has_bias)
+    kernel = functools.partial(_bwd_kernel, nh, float(scale), e, has_bias,
+                               pack)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -325,22 +368,38 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
     return dq, dk, dv, dt.astype(table.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _fused(q, k, v, idx, table, num_heads, scale, num_emb, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused(q, k, v, idx, table, num_heads, scale, num_emb, pack, interpret):
     return _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale,
-                                     num_emb, interpret)
+                                     num_emb, pack, interpret)
 
 
-def _fused_fwd(q, k, v, idx, table, num_heads, scale, num_emb, interpret):
+def _fused_fwd(q, k, v, idx, table, num_heads, scale, num_emb, pack,
+               interpret):
     out = _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale,
-                                    num_emb, interpret)
+                                    num_emb, pack, interpret)
     return out, (q, k, v, idx, table)
 
 
-def _fused_bwd(num_heads, scale, num_emb, interpret, res, g):
+def _fused_bwd(num_heads, scale, num_emb, pack, interpret, res, g):
     q, k, v, idx, table = res
+    if pack > 1:
+        # run the backward UNPACKED: the packed forward is mathematically
+        # per-window attention (cross logits killed), so per-window
+        # gradients are identical — and the packed (TB, 2N, ...) backward
+        # blocks blow the 16 MB scoped-vmem limit (measured 33.8 MB at
+        # TB=8, N=128), while the unpacked profile is proven
+        bw, n, c = q.shape
+        shp = (bw * pack, n // pack)
+        dq, dk, dv, dt = _pallas_ordered_attention_bwd(
+            q.reshape(shp + (c,)), k.reshape(shp + (c,)),
+            v.reshape(shp + (c,)), g.reshape(shp + (c,)),
+            idx.reshape(shp), table, num_heads, scale, num_emb, 1,
+            interpret)
+        return (dq.reshape(bw, n, c), dk.reshape(bw, n, c),
+                dv.reshape(bw, n, c), None, dt)
     dq, dk, dv, dt = _pallas_ordered_attention_bwd(
-        q, k, v, g, idx, table, num_heads, scale, num_emb, interpret)
+        q, k, v, g, idx, table, num_heads, scale, num_emb, pack, interpret)
     return dq, dk, dv, None, dt
 
 
@@ -358,9 +417,30 @@ def fused_ordered_window_attention(q: jnp.ndarray, k: jnp.ndarray,
     idx: (B*nW, N) int32 quantized depth indices in [0, num_emb).
     table: optional (2*num_emb-1, heads) learned relative-depth bias table
     (None == bias_type 'none').
+
+    Packing: with N = 64 (window 8), two windows share one attention
+    instance — the packed 128-token score matmuls exactly fill the MXU lane
+    tile the 64-token ones already paid for, halving the matmul count. The
+    kernel kills cross-window logits in-place (``_cross_window_kill``); the
+    one-hot bias gather computes cross-pair entries too, but they sit under
+    the -100 kill so their softmax weight (~e^-100) and bias-table gradient
+    contribution vanish below f32 resolution.
     """
     if impl == "xla":
         return xla_ordered_attention(q, k, v, idx, table, num_heads, scale,
                                      num_emb)
     interpret = impl == "pallas_interpret"
-    return _fused(q, k, v, idx, table, num_heads, scale, num_emb, interpret)
+    bw, n, c = q.shape
+    import os
+    pack_ok = (2 * n <= 128 and bw % 2 == 0
+               and os.environ.get("MDE_ORDERED_PACK", "1") != "0")
+    if pack_ok:
+        q2 = q.reshape(bw // 2, 2 * n, c)
+        k2 = k.reshape(bw // 2, 2 * n, c)
+        v2 = v.reshape(bw // 2, 2 * n, c)
+        idx2 = idx.reshape(bw // 2, 2 * n)
+        out = _fused(q2, k2, v2, idx2, table, num_heads, scale, num_emb,
+                     2, interpret)
+        return out.reshape(bw, n, c)
+    return _fused(q, k, v, idx, table, num_heads, scale, num_emb, 1,
+                  interpret)

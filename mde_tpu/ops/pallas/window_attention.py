@@ -296,6 +296,47 @@ def _fused_bwd(num_heads, scale, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _pack2(q, k, v, bias, mask, num_heads):
+    """Pack 2 windows per attention instance (block-diagonal masking).
+
+    MXU lane tiles are 128 wide, so a (N, N) score matmul with N = 49 (or
+    64) pays the same padded tile as 2N <= 128 — packing pairs of windows
+    along the token dim halves the number of score/PV matmuls at unchanged
+    per-matmul cost. Cross-window logits are killed with the Swin -100
+    additive convention; the diagonal blocks carry the original bias/mask,
+    so softmax factorizes per window exactly.
+
+    Applied OUTSIDE the custom_vjp: reshapes and the block-diag embedding
+    are plain traced ops, so gradients (incl. d_bias = sum of the two
+    diagonal blocks) come from autodiff with no kernel changes.
+    """
+    bw, n, c = q.shape
+    n2 = 2 * n
+    q2 = q.reshape(bw // 2, n2, c)
+    k2 = k.reshape(bw // 2, n2, c)
+    v2 = v.reshape(bw // 2, n2, c)
+
+    # cross-window kill folded into the BIAS channel (constant per program;
+    # a synthetic single-window mask would break the kernel's nW/TB block
+    # indexing and force TB=1)
+    cross = jnp.full((n2, n2), -100.0, jnp.float32)
+    zero = jnp.zeros((n, n), jnp.float32)
+    cross = cross.at[:n, :n].set(zero).at[n:, n:].set(zero)
+
+    bias2 = jnp.broadcast_to(cross, (num_heads, n2, n2))
+    if bias is not None:
+        b = jnp.asarray(bias, jnp.float32)
+        bias2 = bias2.at[:, :n, :n].add(b).at[:, n:, n:].add(b)
+
+    mask2 = None
+    if mask is not None:
+        nw = mask.shape[0]
+        m = jnp.asarray(mask, jnp.float32).reshape(nw // 2, 2, n, n)
+        mask2 = jnp.zeros((nw // 2, n2, n2), jnp.float32)
+        mask2 = mask2.at[:, :n, :n].set(m[:, 0]).at[:, n:, n:].set(m[:, 1])
+    return q2, k2, v2, bias2, mask2
+
+
 def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            bias: Optional[jnp.ndarray],
                            mask: Optional[jnp.ndarray],
@@ -309,6 +350,14 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if impl == "xla":
         return xla_window_attention(q, k, v, bias, mask, num_heads, scale)
     interpret = impl == "pallas_interpret"
+
+    bw, n, c = q.shape
+    if (2 * n <= 128 and bw % 2 == 0
+            and (mask is None or mask.shape[0] % 2 == 0)):
+        q2, k2, v2, bias2, mask2 = _pack2(q, k, v, bias, mask, num_heads)
+        out = _fused(q2, k2, v2, bias2, mask2, num_heads, scale, interpret)
+        return out.reshape(bw, n, c)
+
     if bias is None and mask is None:
         # avoid a custom_vjp cell for the trivial-constant case; same path
         return _fused(q, k, v, None, None, num_heads, scale, interpret)

@@ -48,8 +48,11 @@ def main():
         "scheduler": {"name": "onecycle"},
         "train": {"num_accum": 1, "grad_norm": 0.1},
     })
+    # MDE_BENCH_REMAT=0 disables remat (fits only if the fused-backward
+    # attention freed enough HBM); default keeps the production remat
     model = build_model(opt, 0.001, 80.0, dtype=jnp.bfloat16,
-                        use_checkpoint=True)
+                        use_checkpoint=os.environ.get(
+                            "MDE_BENCH_REMAT", "1") != "0")
 
     batch = int(os.environ.get("MDE_BENCH_BATCH", "4"))
     rng = np.random.RandomState(0)

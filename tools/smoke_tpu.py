@@ -65,6 +65,43 @@ def main():
     print(f"glu_ff compiled max|d| = {d:.2e}")
     assert d < 1e-4
 
+    # --- packed ordered attention (flagship head shapes: window 8 -> N=64,
+    # packed pairs -> 128 tokens; checks the VMEM fit of the packed blocks)
+    from mde_tpu.ops.pallas.ordered_attention import (
+        fused_ordered_window_attention, xla_ordered_attention)
+    nh, n, c, e, bw = 8, 64, 512, 128, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (bw, n, c), jnp.float32)
+    k = jax.random.normal(ks[1], (bw, n, c), jnp.float32)
+    v = jax.random.normal(ks[2], (bw, n, c), jnp.float32)
+    idx = jax.random.randint(jax.random.PRNGKey(6), (bw, n), 0, e)
+    table = jax.random.normal(jax.random.PRNGKey(7), (2 * e - 1, nh),
+                              jnp.float32)
+    sc = (c // nh) ** -0.5
+    # reference on the CPU backend: true f32 (the TPU einsum path rounds
+    # its matmuls to bf16, so a TPU-vs-TPU diff would measure XLA's own
+    # rounding, ~1e-2, not the kernel's correctness — the kernel runs its
+    # dots at Precision.HIGHEST and should sit within ~1e-5 of true f32)
+    ref = jax.jit(lambda q, k, v, t: xla_ordered_attention(
+        q, k, v, idx, t, nh, sc, e), backend="cpu")(q, k, v, table)
+    out = jax.jit(lambda q, k, v, t: fused_ordered_window_attention(
+        q, k, v, idx, t, nh, sc, e, impl="pallas"))(q, k, v, table)
+    d = float(jnp.max(jnp.abs(jax.device_get(out) - jax.device_get(ref))))
+    print(f"ordered packed compiled max|d| vs f32 = {d:.2e}")
+    assert d < 1e-4
+
+    gf = jax.jit(jax.grad(lambda q, k, v, t: jnp.sum(
+        fused_ordered_window_attention(q, k, v, idx, t, nh, sc, e,
+                                       impl="pallas") ** 2),
+        argnums=(0, 1, 2, 3)))(q, k, v, table)
+    gr = jax.jit(jax.grad(lambda q, k, v, t: jnp.sum(
+        xla_ordered_attention(q, k, v, idx, t, nh, sc, e) ** 2),
+        argnums=(0, 1, 2, 3)), backend="cpu")(q, k, v, table)
+    gd = max(float(jnp.max(jnp.abs(jax.device_get(a) - jax.device_get(b))))
+             for a, b in zip(gf, gr))
+    print(f"ordered packed compiled grad max|d| vs f32 = {gd:.2e}")
+    assert gd < 5e-2
+
     # bf16 (the production dtype: bf16 tiles hit different Mosaic lowerings)
     ab16, w16 = ab.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
     ref16 = jax.jit(xla_glu_dwconv_bn_gelu)(ab16, w16, s, t)
