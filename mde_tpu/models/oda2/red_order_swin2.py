@@ -27,6 +27,7 @@ from ...ops import tnn
 from ...ops.conv import ConvBN
 from ...ops.mlp import PreNormDWConvFF
 from ...ops.ordered_attention import PreNormOrderedSwinSA
+from ...ops.remat import remat_policy
 from ...ops.resize import resize_bilinear, upsample2d
 from ...ops.init import trunc_normal_init
 from ..swin import swin_base, swin_large, SwinTransformer
@@ -189,7 +190,8 @@ class OrderedSwinRegHead(nn.Module):
                 and not self.return_weights):
             cell_cls = OrderedRepeatCell
             if self.use_checkpoint:
-                cell_cls = nn.remat(OrderedRepeatCell, static_argnums=(2,))
+                cell_cls = nn.remat(OrderedRepeatCell, static_argnums=(2,),
+                                    policy=remat_policy())
             scan_cls = nn.scan(
                 cell_cls,
                 variable_axes={"params": 0, "batch_stats": 0},
@@ -223,7 +225,8 @@ class OrderedSwinRegHead(nn.Module):
             # remat: recompute block activations in the backward pass — the
             # head runs at 1/4 resolution with 4x-expanded FFs, whose saved
             # intermediates otherwise dominate train-step HBM
-            block_cls = (nn.remat(OrderedSwinBlock, static_argnums=(3,))
+            block_cls = (nn.remat(OrderedSwinBlock, static_argnums=(3,),
+                                   policy=remat_policy())
                          if self.use_checkpoint else OrderedSwinBlock)
             x, aws = block_cls(
                 num_heads=self.num_heads, num_emb=self.num_emb,

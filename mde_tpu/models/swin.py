@@ -31,6 +31,7 @@ from ..ops import tnn
 from ..ops.attention import WindowAttention
 from ..ops.mlp import SwinMLP
 from ..ops.drop import DropPath
+from ..ops.remat import tag_sa, remat_policy
 from ..ops.window import (
     window_partition, window_reverse, shifted_window_attn_mask,
     cyclic_shift, cyclic_unshift,
@@ -131,6 +132,9 @@ class SwinBlock(nn.Module):
         drop_path = DropPath(self.path_drop_prob, name="drop_path")
         x = shortcut + drop_path(x, deterministic=not train,
                                  rate=path_drop_rate)
+        # saveable under selective remat (ops/remat.py): skipping the
+        # attention recompute in the backward costs only this small tensor
+        x = tag_sa(x)
 
         y = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = SwinMLP(hidden_features=int(c * self.mlp_ratio),
@@ -196,7 +200,8 @@ class SwinStage(nn.Module):
             n_pairs = self.depth // 2
             pair_cls = SwinBlockPair
             if self.use_checkpoint:
-                pair_cls = nn.remat(SwinBlockPair, static_argnums=(3,))
+                pair_cls = nn.remat(SwinBlockPair, static_argnums=(3,),
+                                    policy=remat_policy())
             scan_cls = nn.scan(
                 pair_cls,
                 variable_axes={"params": 0},
@@ -217,7 +222,8 @@ class SwinStage(nn.Module):
             if self.use_checkpoint:
                 # remat trades FLOPs for HBM: recompute block activations in
                 # the backward pass (reference: torch checkpoint, ``:439-445``).
-                block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+                block_cls = nn.remat(SwinBlock, static_argnums=(2,),
+                                     policy=remat_policy())
             for i in range(self.depth):
                 x = block_cls(
                     num_heads=self.num_heads,

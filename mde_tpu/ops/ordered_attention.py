@@ -24,6 +24,7 @@ import flax.linen as nn
 from . import tnn
 
 from .init import trunc_normal_init
+from . import remat
 from .window import window_partition, window_reverse, cyclic_shift, cyclic_unshift
 
 
@@ -149,6 +150,7 @@ class PreNormOrderedSwinSA(nn.Module):
             out = cyclic_unshift(out, self.shift_size)
 
         out = out + identity
+        out = remat.tag_sa(out)  # saveable under selective remat
         if self.return_weights:
             return out, weights
         return out, None

@@ -158,3 +158,28 @@ def test_scan_repeats_matches_unrolled():
         rngs={"dropout": jax.random.PRNGKey(3)})
     assert "repeat" in updates["batch_stats"]
     assert len(outs_t) == R + 1
+
+
+def test_selective_remat_grad_parity():
+    """Selective remat (save tagged sa_out, recompute the rest) gives the
+    same gradients as no remat (ops/remat.py policy)."""
+    from mde_tpu.models.oda2.red_order_swin2 import OrderedSwinRegHead
+
+    kwargs = dict(num_heads=2, num_repeats=2, num_emb=16, window_size=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
+    m_remat = OrderedSwinRegHead(use_checkpoint=True, **kwargs)
+    vs = m_remat.init(jax.random.PRNGKey(1), x)
+    m_plain = OrderedSwinRegHead(use_checkpoint=False, **kwargs)
+
+    def loss(m):
+        def f(p):
+            outs, _ = m.apply({"params": p,
+                               "batch_stats": vs["batch_stats"]}, x)
+            return sum(jnp.sum(o ** 2) for o in outs)
+        return f
+
+    g1 = jax.grad(loss(m_remat))(vs["params"])
+    g2 = jax.grad(loss(m_plain))(vs["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
