@@ -20,6 +20,17 @@ Both matmuls run in f32 so the selected table entries are bit-exact with the
 XLA gather. Attention itself (QK^T, PV) stays in the input dtype with f32
 accumulation. No (.., N, N, heads) tensor ever leaves VMEM.
 
+When the window block is exactly one lane tile (N == E == 128, the packed
+flagship shape), the kernel skips the Toeplitz matmuls entirely and uses
+Mosaic's dynamic lane gather (``jnp.take_along_axis`` along the minor dim,
+equal 128x128 shapes — the only form the compiler accepts): the bias table is
+split at entry E-1 into two 128-entry halves, each (N, N) relative-index map
+gathers from a broadcast table row, and a ``where(rel < E)`` stitches the
+halves. That converts the N*E*E + N*N*E one-hot MACs per head (~4x the
+attention dots' FLOPs) into a handful of VPU shuffles. Selected entries stay
+bit-exact (pure f32 lane moves). ``MDE_ORDERED_GATHER=0`` restores the
+one-hot path.
+
 Gradients: ``custom_vjp`` with a fused Pallas backward. Scores/probabilities
 (including the one-hot bias lookup) are recomputed per window block in VMEM,
 ``dS = P*(dP - rowsum(dP*P))`` yields dq/dk/dv via MXU dots, and the bias-
@@ -98,8 +109,37 @@ def _cross_window_kill(n: int, pack: int) -> Optional[jnp.ndarray]:
     return jnp.where(iq == ik, 0.0, -100.0).astype(jnp.float32)
 
 
+def split_bias_table(table: jnp.ndarray, num_emb: int) -> jnp.ndarray:
+    """(2E-1, heads) table -> (2*heads, E) halves for the lane-gather path.
+
+    Row h is T[0:E, h] (rel in [0, E-1]); row heads+h is T[E-1:, h]
+    (rel-(E-1) in [0, E-1]); the shared entry E-1 makes the halves agree at
+    the stitch point.
+    """
+    e = num_emb
+    return jnp.concatenate([table[:e].T, table[e - 1:].T], axis=0)
+
+
+def _gathered_bias(idx_t: jnp.ndarray, tlo_h: jnp.ndarray,
+                   thi_h: jnp.ndarray, e: int) -> jnp.ndarray:
+    """(N,) int32 window indices -> (N, N) f32 bias via two lane gathers.
+
+    Requires N == e == 128 (Mosaic's dynamic gather only lowers equal-shape
+    2D minor-dim gathers within one 128-lane tile).
+    """
+    n = idx_t.shape[0]
+    rel = idx_t[:, None] - idx_t[None, :] + (e - 1)       # (N, N) in [0, 2E-2]
+    lo = jnp.minimum(rel, e - 1)
+    hi = jnp.maximum(rel - (e - 1), 0)
+    blo = jnp.take_along_axis(
+        jnp.broadcast_to(tlo_h[None, :], (n, e)), lo, axis=-1)
+    bhi = jnp.take_along_axis(
+        jnp.broadcast_to(thi_h[None, :], (n, e)), hi, axis=-1)
+    return jnp.where(rel < e, blo, bhi)
+
+
 def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
-            pack: int, *refs):
+            pack: int, use_gather: bool, *refs):
     if has_bias:
         q_ref, k_ref, v_ref, i_ref, m_ref, o_ref = refs
     else:
@@ -131,22 +171,23 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
         idx = i_ref[:, 0, :]                             # (TB, N) int32; the
         # (TB, 1, N) block layout keeps N on the lane dim so TB is not
         # pinned to sublane multiples (a (TB, N) int32 block needs TB % 8)
-        iota_qe = jax.lax.broadcasted_iota(jnp.int32, (tb, n, e), 2)
-        oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)   # (TB, N, E)
-        iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
-        oh_kt = (iota_ek == idx[:, None, :]).astype(jnp.float32)  # (TB, E, N)
-        # row gather: G[t, q, h*E + b] = T[i_q - b + E - 1, h]. Packed
-        # blocks (2N tokens) gather per head inside the loop instead — the
-        # full (TB, N, nh*E) f32 precompute is what pushes the packed
-        # working set past the 16 MB scoped-vmem limit.
-        g = None
-        if pack == 1:
-            g = jax.lax.dot_general(
-                oh_q, m_ref[:], (((2,), (0,)), ((), ())),
-                precision=prec,
-                preferred_element_type=jnp.float32)      # (TB, N, nh*E)
-    else:
         oh_q = oh_kt = g = None
+        if not use_gather:
+            iota_qe = jax.lax.broadcasted_iota(jnp.int32, (tb, n, e), 2)
+            oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)  # (TB,N,E)
+            iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
+            oh_kt = (iota_ek == idx[:, None, :]).astype(jnp.float32)  # (TB,E,N)
+            # row gather: G[t, q, h*E + b] = T[i_q - b + E - 1, h]. Packed
+            # blocks (2N tokens) gather per head inside the loop instead — the
+            # full (TB, N, nh*E) f32 precompute is what pushes the packed
+            # working set past the 16 MB scoped-vmem limit.
+            if pack == 1:
+                g = jax.lax.dot_general(
+                    oh_q, m_ref[:], (((2,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # (TB, N, nh*E)
+    else:
+        idx = oh_q = oh_kt = g = None
 
     q = q * jnp.asarray(scale, q.dtype)
     kill = _cross_window_kill(n, pack)
@@ -160,7 +201,13 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
                                 preferred_element_type=jnp.float32)
         if kill is not None:
             s = s + kill[None]
-        if oh_q is not None:
+        if m_ref is not None and use_gather:
+            tlo_h = m_ref[h]                             # (E,) f32
+            thi_h = m_ref[nh + h]
+            bias = jnp.stack([_gathered_bias(idx[t], tlo_h, thi_h, e)
+                              for t in range(tb)])       # (TB, N, N)
+            s = s + bias
+        elif oh_q is not None:
             g_h = g[:, :, h * e:(h + 1) * e] if g is not None else \
                 jax.lax.dot_general(
                     oh_q, m_ref[:, h * e:(h + 1) * e], (((2,), (0,)), ((), ())),
@@ -179,15 +226,28 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
+def _use_gather_bias(n: int, num_emb: int) -> bool:
+    """Lane-gather bias path: only the equal-shape 128-lane 2D gather lowers
+    (probed on-chip; 256-lane, bf16, and mismatched shapes crash Mosaic)."""
+    import os
+    return (n == 128 and num_emb == 128
+            and os.environ.get("MDE_ORDERED_GATHER", "1") != "0")
+
+
 def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
                               pack: int, interpret: bool) -> jnp.ndarray:
     bw, n, c = q.shape
     itemsize = jnp.dtype(q.dtype).itemsize
-    # 4 double-buffered IO blocks + f32 G + one-hots + scores/probs
-    per_window = (4 * n * c * itemsize * 2
-                  + (n * num_heads * num_emb * 4
-                     + 2 * n * num_emb * 4 if table is not None else 0)
-                  + 2 * n * n * 4)
+    has_bias = table is not None
+    use_gather = has_bias and _use_gather_bias(n, num_emb)
+    # 4 double-buffered IO blocks + bias working set + scores/probs
+    if use_gather:
+        bias_ws = 4 * n * n * 4          # rel/lo/hi index maps + bias, f32
+    elif has_bias:
+        bias_ws = n * num_heads * num_emb * 4 + 2 * n * num_emb * 4
+    else:
+        bias_ws = 0
+    per_window = 4 * n * c * itemsize * 2 + bias_ws + 2 * n * n * 4
     tb = _pick_tb(bw, None, per_window)
     grid = (bw // tb,)
 
@@ -197,16 +257,18 @@ def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
 
     in_specs = [blk((tb, n, c)), blk((tb, n, c)), blk((tb, n, c))]
     args = [q, k, v]
-    has_bias = table is not None
     if has_bias:
-        m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
+        if use_gather:
+            m_all = split_bias_table(table.astype(jnp.float32), num_emb)
+        else:
+            m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
         in_specs.append(blk((tb, 1, n)))
         in_specs.append(pl.BlockSpec(m_all.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args += [idx.astype(jnp.int32).reshape(bw, 1, n), m_all]
 
     kernel = functools.partial(_kernel, num_heads, float(scale), num_emb,
-                               has_bias, pack)
+                               has_bias, pack, use_gather)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -218,7 +280,7 @@ def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
 
 
 def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
-                pack: int, *refs):
+                pack: int, use_gather: bool, *refs):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref = next(it), next(it), next(it), next(it)
     i_ref = next(it) if has_bias else None
@@ -267,15 +329,21 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
         if kill is not None:
             s = s + kill[None]
         if oh_q is not None:
-            # per-head row gather (vs one (TB, N, nh*E) precompute): keeps the
-            # working set small enough for the TB >= 8 block floor
-            g_h = jax.lax.dot_general(
-                oh_q, m_ref[:, h * e:(h + 1) * e], (((2,), (0,)), ((), ())),
-                precision=prec,
-                preferred_element_type=jnp.float32)      # (TB, N, E)
-            bias = jax.lax.dot_general(g_h, oh_kt, bias_dims,
-                                       precision=prec,
-                                       preferred_element_type=jnp.float32)
+            if use_gather:
+                bias = jnp.stack([_gathered_bias(idx[t], m_ref[h],
+                                                 m_ref[nh + h], e)
+                                  for t in range(tb)])   # (TB, N, N) f32
+            else:
+                # per-head row gather (vs one (TB, N, nh*E) precompute):
+                # keeps the working set under the TB >= 8 block floor
+                g_h = jax.lax.dot_general(
+                    oh_q, m_ref[:, h * e:(h + 1) * e],
+                    (((2,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # (TB, N, E)
+                bias = jax.lax.dot_general(g_h, oh_kt, bias_dims,
+                                           precision=prec,
+                                           preferred_element_type=jnp.float32)
             s = s + bias
         p = jax.nn.softmax(s, axis=-1)                   # f32 (TB, N, N)
         dp = jax.lax.dot_general(do[:, :, sl], v[:, :, sl], qk_dims,
@@ -319,9 +387,16 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
     nh = num_heads
     e = num_emb
     has_bias = table is not None
-    per_window = (7 * n * c * itemsize * 2
-                  + 5 * n * n * 4
-                  + (4 * n * e * 4 if has_bias else 0))
+    use_gather = has_bias and _use_gather_bias(n, e)
+    if use_gather:
+        # one-hots + z survive for the dM matmuls; the bias recompute adds
+        # the rel/lo/hi maps instead of the row-gather G
+        bias_ws = 3 * n * e * 4 + 3 * n * n * 4
+    elif has_bias:
+        bias_ws = 4 * n * e * 4
+    else:
+        bias_ws = 0
+    per_window = 7 * n * c * itemsize * 2 + 5 * n * n * 4 + bias_ws
     shared = (2 * e * nh * e * 4) if has_bias else 0
     tb = _pick_tb(bw, None, per_window, budget=8 * 1024 * 1024 - shared)
     grid = (bw // tb,)
@@ -333,7 +408,10 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
     in_specs = [blk((tb, n, c))] * 4
     args = [q, k, v, do]
     if has_bias:
-        m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
+        if use_gather:
+            m_all = split_bias_table(table.astype(jnp.float32), num_emb)
+        else:
+            m_all = toeplitz_bias_matrix(table.astype(jnp.float32), num_emb)
         in_specs.append(blk((tb, 1, n)))
         in_specs.append(pl.BlockSpec(m_all.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -347,7 +425,7 @@ def _pallas_ordered_attention_bwd(q, k, v, do, idx, table, num_heads, scale,
                                       memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_bwd_kernel, nh, float(scale), e, has_bias,
-                               pack)
+                               pack, use_gather)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -383,12 +461,18 @@ def _fused_fwd(q, k, v, idx, table, num_heads, scale, num_emb, pack,
 
 def _fused_bwd(num_heads, scale, num_emb, pack, interpret, res, g):
     q, k, v, idx, table = res
-    if pack > 1:
+    gather_packed = (pack > 1 and table is not None
+                     and _use_gather_bias(q.shape[1], num_emb))
+    if pack > 1 and not gather_packed:
         # run the backward UNPACKED: the packed forward is mathematically
         # per-window attention (cross logits killed), so per-window
-        # gradients are identical — and the packed (TB, 2N, ...) backward
-        # blocks blow the 16 MB scoped-vmem limit (measured 33.8 MB at
-        # TB=8, N=128), while the unpacked profile is proven
+        # gradients are identical — and the packed (TB, 2N, ...) one-hot
+        # backward blocks blow the 16 MB scoped-vmem limit (measured
+        # 33.8 MB at TB=8, N=128), while the unpacked profile is proven.
+        # With the lane-gather bias recompute the packed footprint fits, so
+        # that path stays packed (cross-pair softmax mass is ~e^-100 —
+        # subnormal f32 — so its dT/dq/dk/dv contribution is lost below
+        # resolution, same argument as the packed forward).
         bw, n, c = q.shape
         shp = (bw * pack, n // pack)
         dq, dk, dv, dt = _pallas_ordered_attention_bwd(
