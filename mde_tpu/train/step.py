@@ -30,9 +30,10 @@ ModelAdapter = Callable[..., Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray
 
 def default_adapter(model_out) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray]]:
     """Handles the common contracts:
-    - (pred, outs_tuple, attn)  [ODA2 ordered heads]
-    - (pred, bin_edges)         [AdaBins-style]
-    - pred                      [plain regression]
+    - (pred, outs_tuple, attn)      [ODA2 ordered heads]
+    - (pred, aux, centers, attns)   [oda_luna_cls — centers at index 2]
+    - (pred, bin_edges/centers)     [AdaBins-style]
+    - pred                          [plain regression]
     """
     if isinstance(model_out, tuple):
         if len(model_out) >= 2 and isinstance(model_out[1], (tuple, list)) \
@@ -40,6 +41,11 @@ def default_adapter(model_out) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.nd
                 and getattr(model_out[1][0], "ndim", 0) == 4:
             # (pred, outs_tuple, attn) [ODA2 ordered heads]
             return tuple(model_out[1]), None
+        if len(model_out) == 4 and getattr(model_out[2], "ndim", 0) == 2:
+            # (pred, aux, centers, attns) [oda_luna_cls,
+            # reference oda_luna_cls.py:91-117 — aux tokens are 3-D, the
+            # 2-D bin centers sit at index 2]
+            return (model_out[0],), model_out[2]
         second = model_out[1] if len(model_out) >= 2 else None
         if second is not None and getattr(second, "ndim", 0) == 2:
             # (pred, bin_edges/centers[, attn]) [AdaBins, Depthformer v7/v8]
@@ -48,9 +54,33 @@ def default_adapter(model_out) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.nd
     return (model_out,), None
 
 
+# Families whose second output is bin EDGES (shape (B, n_bins+1)) rather than
+# centers. AdaBins' chamfer loss is defined on bin CENTERS — the official
+# AdaBins BinsChamferLoss derives ``0.5*(edges[1:]+edges[:-1])`` from the edges
+# the model returns (arXiv 2011.14141 §3.4; reference model contract at
+# /root/reference/model/Adabins/unet_adaptive_bins.py:101-109). Depthformer
+# v7/v8 and the oda*_luna_cls heads already return centers.
+_EDGE_EMITTERS = frozenset({"adabins", "oda_bins", "depthformer_v3"})
+
+
+def bin_edges_to_centers(edges: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (edges[:, :-1] + edges[:, 1:])
+
+
+def make_adapter(model_name: str) -> ModelAdapter:
+    """Model-aware adapter: normalizes every family's output contract AND
+    guarantees the bins handed to ``chamfer_bin_loss`` are centers."""
+    def adapter(model_out):
+        outs, bins = default_adapter(model_out)
+        if bins is not None and model_name in _EDGE_EMITTERS:
+            bins = bin_edges_to_centers(bins)
+        return outs, bins
+    return adapter
+
+
 def make_train_step(model, opt, min_depth: float, max_depth: float,
                     tx: optax.GradientTransformation,
-                    adapter: ModelAdapter = default_adapter,
+                    adapter: Optional[ModelAdapter] = None,
                     num_accum: int = 1,
                     freeze_bn: bool = False,
                     freeze_encoder_bn: bool = False,
@@ -67,6 +97,8 @@ def make_train_step(model, opt, min_depth: float, max_depth: float,
     """
     from ..ops import tnn
 
+    if adapter is None:
+        adapter = make_adapter(opt.get("model", {}).get("name", ""))
     depth_loss = DepthLoss(opt["loss"], min_depth, max_depth)
 
     def _freeze_ctx():

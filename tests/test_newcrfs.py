@@ -86,3 +86,40 @@ def test_uperhead_fpn_forward():
     assert "bn" in str(sorted(vars_bn["params"].keys()))
     out_bn = head_bn.apply(vars_bn, feats)
     assert out_bn.shape == (2, 16, 24, 16)
+
+
+def test_convex_upsample_matches_torch_reference():
+    """``convex_upsample_4x`` vs an executable transcription of the reference
+    ``NewCRFDepth.upsample_mask`` (NewCRFDepth.py:110-121)."""
+    import torch
+    import torch.nn.functional as F
+    from mde_tpu.models.newcrfs.model import convex_upsample_4x
+
+    rng = np.random.RandomState(3)
+    b, h, w = 2, 5, 7
+    disp = rng.rand(b, 1, h, w).astype(np.float32)
+    mask = rng.randn(b, 16 * 9, h, w).astype(np.float32)
+
+    # reference math, verbatim semantics
+    tm = torch.from_numpy(mask).view(b, 1, 9, 4, 4, h, w)
+    tm = torch.softmax(tm, dim=2)
+    up = F.unfold(torch.from_numpy(disp), kernel_size=3, padding=1)
+    up = up.view(b, 1, 9, 1, 1, h, w)
+    up = torch.sum(tm * up, dim=2)
+    up = up.permute(0, 1, 4, 2, 5, 3).reshape(b, 1, 4 * h, 4 * w)
+    want = up.numpy()[:, 0]
+
+    got = np.asarray(convex_upsample_4x(
+        jnp.asarray(disp.transpose(0, 2, 3, 1)),
+        jnp.asarray(mask.transpose(0, 2, 3, 1))))[..., 0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_newcrfs_mask_up_mode_forward():
+    m = NewCRFDepth(min_depth=0.001, max_depth=10.0, up_mode="mask", **TINY)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3), jnp.float32)
+    vs = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x))()
+    out = jax.jit(lambda v, xx: m.apply(v, xx))(vs, x)
+    assert out.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert "mask_head_conv0" in vs["params"]

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import jax
+import optax
 import jax.numpy as jnp
 
 from mde_tpu.core.config import load_config
@@ -286,3 +287,102 @@ def test_zero_grad_bn_pins_bn_params():
                   - np.asarray(state.params["ln"]["scale"])).max() > 0
     assert np.abs(np.asarray(new_state.params["Dense_0"]["kernel"])
                   - np.asarray(state.params["Dense_0"]["kernel"])).max() > 0
+
+
+def test_adapter_derives_centers_from_edges():
+    """Regression for the chamfer edges-vs-centers bug: edge-emitting families
+    (adabins, oda_bins, depthformer_v3) must have bin CENTERS derived before
+    chamfer_bin_loss; center-emitting families pass through unchanged, and the
+    oda_luna_cls 4-tuple contract must surface its centers (index 2)."""
+    from mde_tpu.train.step import make_adapter, bin_edges_to_centers
+
+    n_bins = 8
+    pred = jnp.ones((2, 4, 4, 1))
+    edges = jnp.cumsum(jnp.ones((2, n_bins + 1)), axis=1)  # (B, n_bins+1)
+    centers_true = 0.5 * (edges[:, :-1] + edges[:, 1:])
+
+    # adabins: (pred, edges)
+    outs, bins = make_adapter("adabins")((pred, edges))
+    assert bins.shape == (2, n_bins)
+    np.testing.assert_allclose(np.asarray(bins), np.asarray(centers_true))
+
+    # depthformer_v3: (pred, edges, attn)
+    outs, bins = make_adapter("depthformer_v3")((pred, edges, None))
+    assert bins.shape == (2, n_bins)
+
+    # depthformer_v7: (pred, centers, attn) — already centers, no conversion
+    centers = jnp.linspace(0.0, 1.0, n_bins)[None].repeat(2, 0)
+    outs, bins = make_adapter("depthformer_v7")((pred, centers, None))
+    np.testing.assert_allclose(np.asarray(bins), np.asarray(centers))
+
+    # oda_luna_cls: (pred, aux, centers, attns) — centers at index 2
+    aux = jnp.zeros((2, 5, 16))
+    outs, bins = make_adapter("oda_luna_cls")((pred, aux, centers, ()))
+    assert bins is not None and bins.shape == (2, n_bins)
+    np.testing.assert_allclose(np.asarray(bins), np.asarray(centers))
+
+    # helper itself
+    np.testing.assert_allclose(np.asarray(bin_edges_to_centers(edges)),
+                               np.asarray(centers_true))
+
+
+def test_chamfer_loss_wired_through_train_step():
+    """A train step on an adabins-like contract with chamfer_weight>0 must log
+    a chamfer term computed on (B, n_bins) centers (would previously get the
+    (B, n_bins+1) edges)."""
+    from mde_tpu.train.loss import DepthLoss
+    from mde_tpu.train.step import make_adapter
+
+    opt_loss = {"alpha": 10.0, "beta": 0.15, "per_image": False,
+                "si_weight": 1.0, "chamfer_weight": 0.1}
+    loss = DepthLoss(opt_loss, 0.001, 80.0)
+    rng = np.random.RandomState(0)
+    gt = jnp.asarray(rng.uniform(0.5, 60.0, (2, 8, 8, 1)), jnp.float32)
+    pred = jnp.asarray(rng.uniform(0.5, 60.0, (2, 8, 8, 1)), jnp.float32)
+    edges = jnp.sort(jnp.asarray(rng.uniform(0.001, 80.0, (2, 9)),
+                                 jnp.float32), axis=1)
+
+    outs, bins = make_adapter("adabins")((pred, edges))
+    total, logs = loss(outs, gt, bin_centers=bins)
+    assert "loss_chamfer" in logs
+    # value must equal chamfer on centers, not on edges
+    from mde_tpu.train.loss import chamfer_bin_loss
+    mask = (gt > 0.001) & (gt <= 80.0)
+    want = chamfer_bin_loss(0.5 * (edges[:, :-1] + edges[:, 1:]), gt, mask)
+    np.testing.assert_allclose(float(logs["loss_chamfer"]), float(want),
+                               rtol=1e-6)
+
+
+def test_cycle_momentum_schedule():
+    """scheduler.cycle_momentum=true cycles AdamW b1 0.95->0.85->0.95 inverse
+    to the LR (torch OneCycleLR semantics; exactly one reference config sets
+    it true)."""
+    from mde_tpu.train.optim import build_momentum_schedule, build_optimizer
+
+    opt = {
+        "optimizer": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0},
+        "scheduler": {"name": "onecycle", "pct_start": 0.25, "div_factor": 25,
+                      "final_div_factor": 100, "cycle_momentum": True},
+        "train": {"grad_norm": 0.1},
+    }
+    sched = build_momentum_schedule(opt, 100)
+    assert sched is not None
+    np.testing.assert_allclose(float(sched(0)), 0.95, atol=1e-6)
+    np.testing.assert_allclose(float(sched(25)), 0.85, atol=1e-3)
+    np.testing.assert_allclose(float(sched(100)), 0.95, atol=1e-3)
+    # mid-warmup must sit strictly between
+    assert 0.85 < float(sched(12)) < 0.95
+
+    # off by default
+    opt["scheduler"]["cycle_momentum"] = False
+    assert build_momentum_schedule(opt, 100) is None
+
+    # the injected optimizer still steps
+    opt["scheduler"]["cycle_momentum"] = True
+    tx = build_optimizer(opt, total_steps=100)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    for _ in range(3):
+        upd, st = tx.update({"w": jnp.ones((3,)) * 0.1}, st, params)
+        params = optax.apply_updates(params, upd)
+    assert np.isfinite(np.asarray(params["w"])).all()
