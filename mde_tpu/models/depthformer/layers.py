@@ -202,6 +202,7 @@ class ViTLayer(nn.Module):
     feedforward_dim: Optional[int] = None
     attn_drop_prob: float = 0.0
     drop_prob: float = 0.1
+    act: Callable = tnn.gelu  # v7/v8 pass SiLU through act_layer
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -212,7 +213,7 @@ class ViTLayer(nn.Module):
             dtype=self.dtype, name="self_attn")
         ff = FeedForwardBlock(
             feedforward_dim=self.feedforward_dim, drop_prob=self.drop_prob,
-            dtype=self.dtype, name="feed_forward")
+            act=self.act, dtype=self.dtype, name="feed_forward")
         weights = None
         for _ in range(self.num_repeat):
             x, weights = sa(x, train=train)

@@ -13,8 +13,14 @@ Version deltas (kept faithful):
   ReLU (+0.1 after) normalization; internal dims (d/4,d/2,d/2,d,d).
 * v7: PreNorm Luna, SiLU; num_aux OVERRIDDEN to the 1/32 token count
   (``decoder_v7.py:42``); EfficientNet tap 12 (2048-ch conv_head);
-  internal dims (d/8,d/8,d/4,d/2,d); per-scale aux ViT layers; returns
-  centers for the chamfer loss.
+  internal dims (d/8,d/8,d/4,d/2,d); a learned position embedding added to
+  the 1/32 map (``decoder_v7.py:46-49,121-122``; torch *initializes* it by
+  copying the aux bank — here it is an independent param with the same
+  init distribution, equal only through converted checkpoints); encoder
+  dropout on every input scale; FIVE aux ViT layers (one after each Luna +
+  one at the end) + final aux LayerNorm; NO shoot layers — bin logits come
+  from a ConvBN+1x1 head on the 1/2-scale map (``decoder_v7.py:93-96,158``);
+  ReLU bin widths; returns centers for the chamfer loss.
 * v8: PreNorm Luna, SiLU; num_aux free again; tap 10 (512 ch); internal dims
   (d/4,d/4,d/2,d/2,d); single aux ViT after the last Luna; ELU(0.1)+0.1
   bin-width normalization ("log-domain bin estimation",
@@ -88,6 +94,10 @@ class DepthFormerLunaDecoder(nn.Module):
         aux = jnp.broadcast_to(aux0, (b, num_aux, d)).astype(self.dtype)
         if self.version == 6:  # v6 scales the aux bank (decoder_v6.py:129)
             aux = aux * math.sqrt(1.0 / d)
+        if self.version == 7:
+            # v7 drops out every encoder input (decoder_v7.py:106-110)
+            enc_drop = nn.Dropout(self.drop_prob, deterministic=not train)
+            x0, x1, x2, x3, x4 = (enc_drop(x) for x in (x0, x1, x2, x3, x4))
 
         def post_conv(i, x, out_ch):
             n = 2 if self.version == 6 else 1
@@ -101,6 +111,13 @@ class DepthFormerLunaDecoder(nn.Module):
             return ConvBN(d // 8, 1, act=act, use_residual=False,
                           dtype=self.dtype, name=f"shoot{i}")(x, train)
 
+        def aux_vit(name, aux):
+            out, _ = ViTLayer(num_heads=nh, feedforward_dim=self.feedforward_dim,
+                              attn_drop_prob=self.attn_drop_prob,
+                              drop_prob=self.drop_prob, act=act,
+                              dtype=self.dtype, name=name)(aux, train=train)
+            return out
+
         def luna(i, x, aux):
             x, aux, a1, a2 = LunaLayer(
                 qk_proj_dim=idims[i + 1], num_heads=iheads[i + 1],
@@ -108,31 +125,33 @@ class DepthFormerLunaDecoder(nn.Module):
                 attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
                 act=act, dtype=self.dtype, name=f"luna{i}")(x, aux, train=train)
             if self.version == 7:
-                aux, _ = ViTLayer(num_heads=nh,
-                                  feedforward_dim=self.feedforward_dim,
-                                  attn_drop_prob=self.attn_drop_prob,
-                                  drop_prob=self.drop_prob, dtype=self.dtype,
-                                  name=f"aux_vit{i}")(aux, train=train)
+                # reference applies aux_layers[i+1] after luna_layers[i]
+                # (decoder_v7.py:123,131,139,147)
+                aux = aux_vit(f"aux_vit{i + 1}", aux)
             return x, aux, (a1, a2)
 
         attns = ()
         c4 = post_conv(4, x4, idims[4])
+        if self.version == 7:
+            # learned 1/32 position embedding (decoder_v7.py:121-122)
+            pe = self.param("position_embedding", _aux_init(d),
+                            (1, c4.shape[1], c4.shape[2], d))
+            c4 = c4 + pe.astype(c4.dtype)
         if self.version == 8:
             out4 = shoot(4, c4)
         c4, aux, a4 = luna(3, c4, aux)
-        if self.version != 8:
+        if self.version in (6,):
             out4 = shoot(4, c4)
         attns = a4 + attns
 
         def stage(i, skip, c, aux, attns):
             c = upscale_concat_act(skip, c, 2, act=act)
             c = post_conv(i, c, idims[i])
-            if self.version == 8:
-                out = shoot(i, c)
+            out = shoot(i, c) if self.version == 8 else None
             if i > 0:
                 c, aux, a = luna(i - 1, c, aux)
                 attns = a + attns
-            if self.version != 8:
+            if self.version == 6:
                 out = shoot(i, c)
             return c, aux, out, attns
 
@@ -140,10 +159,7 @@ class DepthFormerLunaDecoder(nn.Module):
         c2, aux, out2, attns = stage(2, x2, c3, aux, attns)
         c1, aux, out1, attns = stage(1, x1, c2, aux, attns)
         if self.version == 8:
-            aux, _ = ViTLayer(num_heads=nh, feedforward_dim=self.feedforward_dim,
-                              attn_drop_prob=self.attn_drop_prob,
-                              drop_prob=self.drop_prob, dtype=self.dtype,
-                              name="aux_layer")(aux, train=train)
+            aux = aux_vit("aux_layer", aux)
         c0, aux_unused, out0, attns2 = stage(0, x0, c1, aux, ())
         if self.version == 6:
             # v6's final aux update is a LunaHalfBlock on the 1/2-scale map
@@ -152,26 +168,38 @@ class DepthFormerLunaDecoder(nn.Module):
                 attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
                 dtype=self.dtype, name="luna_final")(c0, aux, train=train)
             attns = (a0,) + attns
-
-        out_hw = (x0.shape[1], x0.shape[2])
-        outs = [out0]
-        for o in (out1, out2, out3, out4):
-            outs.append(resize_bilinear(o, out_hw, align_corners=True))
-        out = jnp.concatenate(outs, axis=-1)  # (b, h/2, w/2, 5d/8)
+        if self.version == 7:
+            # final aux ViT + LayerNorm (decoder_v7.py:154-155)
+            aux = aux_vit("aux_vit0", aux)
+            aux = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                                name="aux_lst_ln")(aux)
 
         # bin classifier
-        if self.version == 6:
-            y = ResConvBNBlock(d // 2, 3, num_layers=2, act=act,
-                               dtype=self.dtype, name="bin_pred0")(out, train)
+        if self.version == 7:
+            # v7 predicts bins from the 1/2-scale map directly
+            # (decoder_v7.py:93-96,158)
+            y = ConvBN(idims[0], 3, act=act, use_residual=False,
+                       dtype=self.dtype, name="bin_pred0")(c0, train)
             y = nn.Conv(self.num_bins, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="bin_pred_out")(y)
         else:
-            y = ConvBN(d, 3, act=act, use_residual=False, dtype=self.dtype,
-                       name="bin_pred0")(out, train)
-            y = ConvBN(d, 3, act=act, use_residual=False, dtype=self.dtype,
-                       name="bin_pred1")(y, train)
-            y = nn.Conv(self.num_bins, (1, 1), dtype=self.dtype,
-                        param_dtype=jnp.float32, name="bin_pred_out")(y)
+            out_hw = (x0.shape[1], x0.shape[2])
+            outs = [out0]
+            for o in (out1, out2, out3, out4):
+                outs.append(resize_bilinear(o, out_hw, align_corners=True))
+            out = jnp.concatenate(outs, axis=-1)  # (b, h/2, w/2, 5d/8)
+            if self.version == 6:
+                y = ResConvBNBlock(d // 2, 3, num_layers=2, act=act,
+                                   dtype=self.dtype, name="bin_pred0")(out, train)
+                y = nn.Conv(self.num_bins, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="bin_pred_out")(y)
+            else:
+                y = ConvBN(d, 3, act=act, use_residual=False, dtype=self.dtype,
+                           name="bin_pred0")(out, train)
+                y = ConvBN(d, 3, act=act, use_residual=False, dtype=self.dtype,
+                           name="bin_pred1")(y, train)
+                y = nn.Conv(self.num_bins, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="bin_pred_out")(y)
         bin_cls = nn.softmax(jnp.asarray(y, jnp.float32), axis=-1)
 
         # bin width regressor from mean aux token
@@ -181,16 +209,17 @@ class DepthFormerLunaDecoder(nn.Module):
             w = nn.Dense(d, param_dtype=jnp.float32,
                          kernel_init=trunc_normal_init(0.02),
                          name=f"bin_regressor{i}")(w)
-            if self.version != 6:
+            if self.version == 8:  # only v8 has regressor dropout
                 w = nn.Dropout(self.drop_prob, deterministic=not train)(w)
             w = act(w)
         w = nn.Dense(self.num_bins, param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init(0.02),
                      name="bin_regressor_out")(w)
-        if self.version == 6:
-            w = nn.relu(w) + 0.1
-        else:
+        if self.version == 8:
+            # "log-domain bin estimation" (decoder_v8.py:166)
             w = jnp.where(w > 0, w, 0.1 * (jnp.exp(jnp.minimum(w, 0.0)) - 1.0)) + 0.1
+        else:
+            w = nn.relu(w) + 0.1
         bin_width = w / w.sum(axis=1, keepdims=True)
 
         return bin_width, bin_cls, attns

@@ -60,9 +60,13 @@ class DepthFormerDecoderV2(nn.Module):
             vit_dims = [d // 4, d // 2, d]
             kq = self.key_query_dim or d
             kq_dims = [kq // 16, kq // 4, kq]
+            # v5's post-conv channel schedule is finer than its vit dims
+            # (decoder_v5.py:39 out_channel_dims)
+            out_dims = [d // 16, d // 8, d // 4, d // 2, d]
         else:
             vit_dims = [d // 16, d // 4, d]
             kq_dims = [None, None, None]
+            out_dims = [vit_dims[0], vit_dims[0], vit_dims[0], vit_dims[1], d]
         vit_heads = [max(nh // 4, 1), max(nh // 2, 1), nh]
 
         def post_conv(i, x, out_ch):
@@ -87,22 +91,22 @@ class DepthFormerDecoderV2(nn.Module):
                              name=f"vit_bn{i}")(t)
             return t, attn
 
-        c4 = post_conv(4, x4, vit_dims[2])
+        c4 = post_conv(4, x4, out_dims[4])
         feat4, attn4 = run_vit(2, c4)
 
         c3 = upscale_concat_act(x3, feat4, 2, act=None)
-        c3 = post_conv(3, c3, vit_dims[1])
+        c3 = post_conv(3, c3, out_dims[3])
         feat3, attn3 = run_vit(1, c3)
 
         c2 = upscale_concat_act(x2, feat3, 2, act=None)
-        c2 = post_conv(2, c2, vit_dims[0])
+        c2 = post_conv(2, c2, out_dims[2])
         feat2, attn2 = run_vit(0, c2)
 
         c1 = upscale_concat_act(x1, feat2, 2, act=None)
-        c1 = post_conv(1, c1, vit_dims[0])
+        c1 = post_conv(1, c1, out_dims[1])
 
         c0 = upscale_concat_act(x0, c1, 2, act=None)
-        c0 = post_conv(0, c0, vit_dims[0])
+        c0 = post_conv(0, c0, out_dims[0])
 
         if self.final_head == "sigmoid":
             out = nn.Conv(1, (1, 1), dtype=self.dtype,
