@@ -261,3 +261,318 @@ def convert_depthformer_luna_decoder(torch_state: Dict[str, np.ndarray],
 
     acc.assert_exhausted()
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# ODA decoders (model/ODA/decoder_{conv,luna,luna_rp}.py)
+# ---------------------------------------------------------------------------
+
+
+def _oda_convbn(acc: KeyAccountant, p: str, use_gn: bool = False):
+    """ODA ``ConvBN`` (``layer_utils.py:7-37``: bias-free replicate-pad conv +
+    BN or GN) -> our ``ops.conv.ConvBN`` {conv, norm}."""
+    params = {"conv": _conv(acc, f"{p}.conv", bias=False)}
+    if use_gn:
+        params["norm"] = _ln(acc, f"{p}.bn")  # GroupNorm: weight/bias only
+        return params, {}
+    bnp, bns = _bn_pair(acc, f"{p}.bn")
+    params["norm"] = bnp["bn"]
+    return params, {"norm": bns["bn"]}
+
+
+def convert_oda_conv_decoder(torch_state, use_gn: bool = False):
+    """``ODAConvDecoder`` (``decoder_conv.py:8-96``) -> our ``ODAConvDecoder``
+    variables."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def cb(our, torch_p):
+        params[our], s = _oda_convbn(acc, torch_p, use_gn)
+        if s:
+            stats[our] = s
+
+    for level in (32, 16, 8):
+        cb(f"block{level}_0", f"block{level}.0")
+        cb(f"block{level}_1", f"block{level}.1")
+        cb(f"block{level}_2", f"block{level}.3")  # .2 is the upsample
+    cb("block4_0", "block4.0")
+    cb("block4_1", "block4.1")
+    cb("block2_0", "block2.0")
+    params["block2_out"] = _conv(acc, "block2.1")
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_oda_luna_decoder(torch_state, use_gn: bool = False,
+                             use_rp: bool = False):
+    """``ODALunaDecoder`` / ``ODALunaDecoderRP``
+    (``decoder_luna.py:11-135``, ``decoder_luna_rp.py:11-138``) -> our
+    ``ODALunaDecoder`` variables."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {"aux": acc.take("aux")}
+    stats: Dict[str, Any] = {}
+
+    def cb(our, torch_p):
+        params[our], s = _oda_convbn(acc, torch_p, use_gn)
+        if s:
+            stats[our] = s
+
+    if use_rp:
+        params["ppm"], stats["ppm"] = _ppm_v1(acc, "ppm")
+
+    for level in (32, 16, 8, 4):
+        cb(f"block{level}_pre", f"block{level}_pre")
+        params[f"block{level}_luna"] = _luna_layer(
+            acc, f"block{level}_luna", pre_norm=True)
+        if level != 4:
+            # post Sequential: [Upsample|PixelShuffle, ConvBN] — idx 1
+            cb(f"block{level}_post", f"block{level}_post.1")
+    cb("block2_0", "block2.0")
+    params["block2_out"] = _conv(acc, "block2.1")
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def _ppm_v1(acc: KeyAccountant, p: str, n_sizes: int = 4):
+    """ODA gen-1 ``PyramidPoolingModule`` (``layer_utils.py:65-107``)."""
+    params: Dict[str, Any] = {}
+    for i in range(n_sizes):
+        params[f"reduce{i}_conv"] = _conv(acc, f"{p}.conv_reduce_layers.{i}")
+    params["out_conv"] = _conv(acc, f"{p}.conv", bias=False)
+    bnp, bns = _bn_pair(acc, f"{p}.bn")
+    params["out_bn"] = bnp["bn"]
+    return params, {"out_bn": bns["bn"]}
+
+
+# ---------------------------------------------------------------------------
+# ODA lion / lime / jeju decoders
+# ---------------------------------------------------------------------------
+
+
+def _ppm_v2(acc: KeyAccountant, p: str, n_sizes: int = 4):
+    """``PyramidPoolingModuleV2`` (``ODA/layer_utils.py:110-156``)."""
+    params: Dict[str, Any] = {}
+    for i in range(n_sizes):
+        params[f"reduce{i}"] = _conv(acc, f"{p}.conv_reduce_layers.{i}",
+                                     bias=False)
+    bnp, bns = _bn_pair(acc, f"{p}.bn")
+    params["bn"] = bnp["bn"]
+    params["conv"] = _conv(acc, f"{p}.conv")
+    return params, {"bn": bns["bn"]}
+
+
+def _lion_attn(acc: KeyAccountant, p: str, cross: bool = False):
+    params = {
+        "norm": _ln(acc, f"{p}.norm"),
+        "q_proj": _dense(acc, f"{p}.q_proj"),
+        "k_proj": _dense(acc, f"{p}.k_proj"),
+        "v_proj": _dense(acc, f"{p}.v_proj"),
+        "o_proj": _dense(acc, f"{p}.o_proj"),
+    }
+    if cross:
+        params["enc_norm"] = _ln(acc, f"{p}.enc_norm")
+    return params
+
+
+def _lion_ff(acc: KeyAccountant, p: str):
+    """``LionFeedForwardConv`` (``lion_layer.py:7-69``)."""
+    params: Dict[str, Any] = {"norm": _ln(acc, f"{p}.norm")}
+    stats: Dict[str, Any] = {}
+    params["conv1"] = _conv(acc, f"{p}.conv1.0", bias=False)
+    bnp, bns = _bn_pair(acc, f"{p}.conv1.1")
+    params["bn1"], stats["bn1"] = bnp["bn"], bns["bn"]
+    params["conv2"] = _conv(acc, f"{p}.conv2.0", bias=False)
+    bnp, bns = _bn_pair(acc, f"{p}.conv2.1")
+    params["bn2"], stats["bn2"] = bnp["bn"], bns["bn"]
+    params["se0"] = _dense(acc, f"{p}.se.0")
+    params["se1"] = _dense(acc, f"{p}.se.2")
+    params["conv3"] = _conv(acc, f"{p}.conv3.0")
+    return params, stats
+
+
+def _lion_layer(acc: KeyAccountant, p: str, last: bool = False):
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for ax in ("h", "w"):
+        params[f"attn_{ax}"] = _lion_attn(acc, f"{p}.attn_{ax}")
+        params[f"cross_attn_{ax}"] = _lion_attn(acc, f"{p}.cross_attn_{ax}",
+                                                cross=True)
+        (params[f"feed_forward_{ax}"],
+         stats[f"feed_forward_{ax}"]) = _lion_ff(acc, f"{p}.feed_forward_{ax}")
+    params["upscale"] = {"conv": _conv(acc, f"{p}.upscale.conv", bias=False)}
+    if last:
+        bnp, bns = _bn_pair(acc, f"{p}.out.0")
+        params["out_bn"], stats["out_bn"] = bnp["bn"], bns["bn"]
+    else:
+        params["out_norm"] = _ln(acc, f"{p}.out")
+    return params, stats
+
+
+def convert_oda_lion_decoder(torch_state) -> Dict[str, Any]:
+    """``ODALionDecoder`` (``decoder_lion.py:11-141``) -> our variables."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {"pe": acc.take("pe")}
+    stats: Dict[str, Any] = {}
+    params["ppm"], stats["ppm"] = _ppm_v2(acc, "ppm")
+    for level, last in ((32, False), (16, False), (8, False), (4, True)):
+        (params[f"lion{level}"],
+         stats[f"lion{level}"]) = _lion_layer(acc, f"lion{level}", last=last)
+    p, s = _oda_convbn(acc, "out_conv.0")
+    params["out_conv0"], stats["out_conv0"] = p, s
+    params["out_conv1"] = _conv(acc, "out_conv.1", bias=False)
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_oda_lime_decoder(torch_state, num_layers: int) -> Dict[str, Any]:
+    """``ODALimeDecoder`` (``decoder_lime.py:11-131``) -> our variables."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # image stem: Sequential(Conv, BN, act, Conv, BN)
+    params["stem_conv0"] = _conv(acc, "stem_conv.0", bias=False)
+    bnp, bns = _bn_pair(acc, "stem_conv.1")
+    params["stem_bn0"], stats["stem_bn0"] = bnp["bn"], bns["bn"]
+    params["stem_conv1"] = _conv(acc, "stem_conv.3", bias=False)
+    bnp, bns = _bn_pair(acc, "stem_conv.4")
+    params["stem_bn1"], stats["stem_bn1"] = bnp["bn"], bns["bn"]
+
+    # encoder memory stem: Sequential(LayerNorm, Linear)
+    params["stem_enc_norm"] = _ln(acc, "stem_enc.0")
+    params["stem_enc_linear"] = _dense(acc, "stem_enc.1")
+
+    for i in range(num_layers):
+        lp = f"layers.{i}"
+        # LimeConvBlock: conv1/conv2/conv3 Sequentials (conv, bn[, act])
+        cp: Dict[str, Any] = {}
+        cs: Dict[str, Any] = {}
+        for j in (1, 2, 3):
+            cp[f"conv{j}"] = _conv(acc, f"{lp}.conv.conv{j}.0", bias=False)
+            bnp, bns = _bn_pair(acc, f"{lp}.conv.conv{j}.1")
+            cp[f"bn{j}"], cs[f"bn{j}"] = bnp["bn"], bns["bn"]
+        params[f"layers{i}_conv"], stats[f"layers{i}_conv"] = cp, cs
+        params[f"layers{i}_attn"] = _lion_attn(acc, f"{lp}.attn", cross=True)
+
+    for j in range(2):
+        p, s = _oda_convbn(acc, f"out_conv.{j}")
+        params[f"out_conv{j}"], stats[f"out_conv{j}"] = p, s
+    params["out_conv2"] = _conv(acc, "out_conv.2", bias=False)
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def _jeju_block(acc: KeyAccountant, p: str):
+    """``JejuBlock`` (``jeju_layer.py:78-209``)."""
+    params = {f"{n}_proj": _dense(acc, f"{p}.{n}_proj")
+              for n in ("q1", "k1", "v1", "o1", "q2", "k2", "v2", "o2")}
+    params["norm"] = _ln(acc, f"{p}.norm")
+    return params
+
+
+def _jeju_ff(acc: KeyAccountant, p: str):
+    """``JejuFeedForward`` (``jeju_layer.py:7-77``)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for j in (1, 2, 3):
+        params[f"conv{j}"] = _conv(acc, f"{p}.conv{j}.0", bias=False)
+        bnp, bns = _bn_pair(acc, f"{p}.conv{j}.1")
+        params[f"bn{j}"], stats[f"bn{j}"] = bnp["bn"], bns["bn"]
+    params["se0"] = _dense(acc, f"{p}.se.0")
+    params["se1"] = _dense(acc, f"{p}.se.2")
+    return params, stats
+
+
+def convert_oda_jeju_decoder(torch_state) -> Dict[str, Any]:
+    """``ODAJejuDecoder`` (``decoder_jeju.py:97-306``) -> our variables."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {"aux": acc.take("aux")}
+    stats: Dict[str, Any] = {}
+
+    for i in range(4):
+        params[f"norm_f{i}"] = _ln(acc, f"norm_f{i}")
+    params["ppm"], stats["ppm"] = _ppm_v2(acc, "ppm")
+    params["norm_ppm"] = _ln(acc, "norm_ppm")
+
+    ups = {32: "hidden_32to16", 16: "hidden_16to8", 8: "hidden_8to4",
+           4: "hidden_4to2"}
+    aux_ups = {32: "aux_32to16", 16: "aux_16to8", 8: "aux_8to4"}
+    for level in (32, 16, 8, 4):
+        params[f"jeju{level}"] = _jeju_block(acc, f"jeju{level}.jeju_attn")
+        (params[f"jeju{level}_ff"],
+         stats[f"jeju{level}_ff"]) = _jeju_ff(acc, f"jeju{level}.jeju_ff")
+        last = level == 4
+        up: Dict[str, Any] = {
+            "conv": _conv(acc, f"{ups[level]}.conv", bias=not last)}
+        if last:
+            # out_nchw: conv bias=False, BN+GELU (decoder_jeju.py:67-79)
+            bnp, bns = _bn_pair(acc, f"{ups[level]}.norm.0")
+            up["bn"] = bnp["bn"]
+            stats[f"up{level}"] = {"bn": bns["bn"]}
+        else:
+            up["norm"] = _ln(acc, f"{ups[level]}.norm")
+        params[f"up{level}"] = up
+        if not last:
+            params[f"aux_up{level}"] = {
+                "fc": _dense(acc, f"{aux_ups[level]}.fc"),
+                "norm": _ln(acc, f"{aux_ups[level]}.norm"),
+            }
+
+    for j, k in ((0, "out_conv.0"), (1, "out_conv.1")):
+        p, s = _oda_convbn(acc, k)
+        params[f"out_conv{j}"], stats[f"out_conv{j}"] = p, s
+    params["out_conv2"] = _conv(acc, "out_conv.2", bias=False)
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# ODA2 sibling decoders (model/ODA2/*)
+# ---------------------------------------------------------------------------
+
+
+def _oda2_ppm(acc: KeyAccountant, p: str, n_sizes: int = 4):
+    """ODA2 ``PyramidPoolingModule`` (``oda2_layer_utils.py:55-109``)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_sizes):
+        params[f"reduce{i}_conv"] = _conv(acc, f"{p}.conv_reduce_layers.{i}.0",
+                                          bias=False)
+        bnp, bns = _bn_pair(acc, f"{p}.conv_reduce_layers.{i}.1")
+        params[f"reduce{i}_bn"], stats[f"reduce{i}_bn"] = bnp["bn"], bns["bn"]
+    params["out_conv"] = _conv(acc, f"{p}.conv.0", bias=False)
+    bnp, bns = _bn_pair(acc, f"{p}.conv.1")
+    params["out_bn"], stats["out_bn"] = bnp["bn"], bns["bn"]
+    return params, stats
+
+
+def convert_oda2_conv_decoder(torch_state) -> Dict[str, Any]:
+    """``ODA2ConvDecoder`` (``oda2_conv_decoder.py:8-100``) -> our variables."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["ppm"], stats["ppm"] = _oda2_ppm(acc, "ppm")
+
+    def cb(our, torch_p):
+        p, s = _convbn_oda2(acc, torch_p)
+        params[our], stats[our] = p, s
+
+    for level in (32, 16, 8):
+        cb(f"block{level}_0", f"block{level}.0")
+        cb(f"block{level}_1", f"block{level}.1")
+        cb(f"block{level}_2", f"block{level}.3")
+    cb("block4_0", "block4.0")
+    cb("block4_1", "block4.1")
+    cb("block2_0", "block2.0")
+    params["block2_out"] = _conv(acc, "block2.1")
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def _convbn_oda2(acc: KeyAccountant, p: str):
+    """ODA2 ``ConvBN`` (``oda2_layer_utils.py:12-52``) -> {conv, norm}."""
+    params = {"conv": _conv(acc, f"{p}.conv", bias=False)}
+    bnp, bns = _bn_pair(acc, f"{p}.bn")
+    params["norm"] = bnp["bn"]
+    return params, {"norm": bns["bn"]}

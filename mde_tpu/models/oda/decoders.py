@@ -20,6 +20,7 @@ from ...ops.conv import ConvBN
 from ...ops.resize import upsample2d
 from ...ops.pixel_shuffle import pixel_shuffle
 from ...ops.luna import LunaLayer
+from ...ops.ppm import PyramidPoolingModuleV1
 
 
 def _aux_init(aux_dim: int):
@@ -95,6 +96,12 @@ class ODALunaDecoder(nn.Module):
         aux = self.param("aux", _aux_init(self.aux_dim),
                          (1, self.num_aux, self.aux_dim))
         aux = jnp.broadcast_to(aux, (f0.shape[0],) + aux.shape[1:]).astype(self.dtype)
+
+        if self.use_rp:
+            # RP variant bottlenecks the 1/32 features through a gen-1 PPM
+            # (decoder_luna_rp.py:44,112)
+            f3 = PyramidPoolingModuleV1(out_ch=f3.shape[-1], dtype=self.dtype,
+                                        name="ppm")(f3, train=train)
 
         attns = ()
 

@@ -9,10 +9,10 @@ replicate conv+BN+act -> SE(1/16) -> 1x1+BN, spatial residual). Between
 scales: ``SpatialUpsample2d`` halves channels (bilinear x2 + 3x3 conv + LN)
 and ``ReorderUpsample1d`` doubles aux tokens while halving aux dim.
 
-NOTE: the reference's decoder forward mixes token/NCHW layouts inconsistently
-(it cannot run as written — e.g. ``SpatialUpsample2d`` unpacks 4 dims from a
-3-D tensor); this implementation realizes the evident intended dataflow,
-NHWC end-to-end, and documents the divergence.
+The reference decoder mixes token and NCHW layouts (``JejuFeedForward``
+returns NCHW, ``SpatialUpsample2d`` converts back to tokens); here the
+dataflow is NHWC end-to-end. Executed activation parity:
+``tests/test_family_parity.py::test_oda_jeju_decoder_parity``.
 """
 
 from __future__ import annotations
@@ -113,8 +113,10 @@ class JejuFeedForward(nn.Module):
                     param_dtype=jnp.float32, name="conv1")(x_nhwc)
         y = tnn.gelu(bn("bn1")(y))
         y = pad2d(y, 2, 2, 2, 2, mode="edge")
+        # grouped 5x5 with groups=num_heads, exactly as upstream
+        # (jeju_layer.py:34-39)
         y = nn.Conv(ff, (5, 5), padding="VALID", use_bias=False,
-                    feature_group_count=math.gcd(self.num_groups, ff),
+                    feature_group_count=self.num_groups,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
         y = tnn.gelu(bn("bn2")(y))
 
@@ -173,36 +175,31 @@ class SpatialUpsample2d(nn.Module):
         return y
 
 
-class ODAJejuModel(nn.Module):
-    """(reference ``ODAJejuModel`` + ``ODAJejuDecoder``)."""
+class ODAJejuDecoder(nn.Module):
+    """(reference ``ODAJejuDecoder``, ``decoder_jeju.py:97-306``). Returns raw
+    (pre-sigmoid) logits, the final aux bank and attention maps."""
 
-    decoder_channels: int = 2048
+    channels: int = 2048
     num_aux: int = 128
     num_heads: int = 64
-    min_depth: float = 0.001
-    max_depth: float = 80.0
+    ppm_proj: int = 512  # fixed upstream (decoder_jeju.py:146-151)
     drop_prob: float = 0.1
     attn_drop_prob: float = 0.0
-    resize_to_multiple: bool = True
     dtype: jnp.dtype = jnp.float32
-    encoder_kwargs: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
-        feats = ODASwinEncoder(
-            resize_to_multiple=self.resize_to_multiple, dtype=self.dtype,
-            encoder_kwargs=self.encoder_kwargs, name="encoder")(x, train=train)
+    def __call__(self, features, train: bool = False):
         f0, f1, f2, f3 = [
             tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name=f"norm_f{i}")(f)
-            for i, f in enumerate(feats)]
-        c = self.decoder_channels
+            for i, f in enumerate(features)]
+        c = self.channels
         hd = [c // 8, c // 4, c // 2, c]
         heads = [max(self.num_heads // 8, 1), max(self.num_heads // 4, 1),
                  self.num_heads // 2, self.num_heads]
         b = f0.shape[0]
 
-        hidden = PPMv2(proj_ch=min(512, c // 4), out_ch=c, dtype=self.dtype,
+        hidden = PPMv2(proj_ch=self.ppm_proj, out_ch=c, dtype=self.dtype,
                        name="ppm")(f3, train=train)
         hidden_tok = hidden.reshape(b, -1, c)
         hidden_tok = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
@@ -243,8 +240,37 @@ class ODAJejuModel(nn.Module):
         out = ConvBN(fc, 1, dtype=self.dtype, name="out_conv1")(out, train)
         out = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="out_conv2")(out)
-        out = nn.sigmoid(jnp.asarray(out, jnp.float32))
-        out = out * (self.max_depth - self.min_depth) + self.min_depth
+        return out, aux, attns
+
+
+class ODAJejuModel(nn.Module):
+    """(reference ``ODAJejuModel`` + ``ODAJejuDecoder``)."""
+
+    decoder_channels: int = 2048
+    num_aux: int = 128
+    num_heads: int = 64
+    min_depth: float = 0.001
+    max_depth: float = 80.0
+    drop_prob: float = 0.1
+    attn_drop_prob: float = 0.0
+    out_func: str = "sigmoid"
+    resize_to_multiple: bool = True
+    dtype: jnp.dtype = jnp.float32
+    encoder_kwargs: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        feats = ODASwinEncoder(
+            resize_to_multiple=self.resize_to_multiple, dtype=self.dtype,
+            encoder_kwargs=self.encoder_kwargs, name="encoder")(x, train=train)
+        out, aux, attns = ODAJejuDecoder(
+            channels=self.decoder_channels, num_aux=self.num_aux,
+            num_heads=self.num_heads,
+            ppm_proj=min(512, self.decoder_channels // 4),
+            drop_prob=self.drop_prob, attn_drop_prob=self.attn_drop_prob,
+            dtype=self.dtype, name="decoder")(feats, train=train)
+        from .lion import apply_out_func
+        out = apply_out_func(out, self.out_func, self.min_depth, self.max_depth)
         return out, aux, attns
 
     @classmethod
@@ -255,6 +281,7 @@ class ODAJejuModel(nn.Module):
             num_heads=opt.get("num_heads", 64),
             min_depth=min_depth, max_depth=max_depth,
             drop_prob=opt.get("drop_prob", 0.1),
-            attn_drop_prob=opt.get("attn_drop_prob", 0.0))
+            attn_drop_prob=opt.get("attn_drop_prob", 0.0),
+            out_func=opt.get("out_func", "sigmoid"))
         kwargs.update(overrides)
         return cls(**kwargs)

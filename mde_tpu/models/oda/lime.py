@@ -99,6 +99,77 @@ class LimeCrossAttention(nn.Module):
         return out + hidden, weights
 
 
+class ODALimeDecoder(nn.Module):
+    """(reference ``ODALimeDecoder``, ``decoder_lime.py:11-131``). Takes the
+    raw image + the 4 NHWC encoder stages; returns raw logits + attns."""
+
+    channels: int = 256
+    num_layers: int = 16
+    attn_drop_prob: float = 0.0
+    drop_prob: float = 0.1
+    bn_momentum: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, features, train: bool = False):
+        f0, f1, f2, f3 = features
+        c = self.channels
+        q4 = (f0.shape[1], f0.shape[2])
+
+        # encoder memory: all stages to 1/4 nearest, concat, LN + Linear
+        enc = jnp.concatenate([
+            f0,
+            resize_nearest(f1, q4),
+            resize_nearest(f2, q4),
+            resize_nearest(f3, q4),
+        ], axis=-1)
+        b = enc.shape[0]
+        enc = enc.reshape(b, -1, enc.shape[-1])
+        enc = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                           name="stem_enc_norm")(enc)
+        enc = nn.Dense(2048, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=trunc_normal_init(0.02),
+                       name="stem_enc_linear")(enc)
+        enc = enc / self.num_layers
+
+        # image stem: two stride-2 4x4 convs -> 1/4 scale hidden
+        def bn(name):
+            return nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
+                                momentum=1.0 - self.bn_momentum,
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name=name)
+
+        h = nn.Conv(c // 2, (4, 4), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="stem_conv0")(img)
+        h = tnn.gelu(bn("stem_bn0")(h))
+        h = nn.Conv(c, (4, 4), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="stem_conv1")(h)
+        h = bn("stem_bn1")(h)
+        if (h.shape[1], h.shape[2]) != q4:
+            h = resize_bilinear(h, q4, align_corners=True)
+
+        attns = []
+        for i in range(self.num_layers):
+            h = LimeConvBlock(mid_ch=c, bn_momentum=self.bn_momentum,
+                              dtype=self.dtype, name=f"layers{i}_conv")(h, train)
+            hh = h.reshape(b, -1, c)
+            hh, a = LimeCrossAttention(
+                attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+                dtype=self.dtype, name=f"layers{i}_attn")(hh, enc, train=train)
+            h = hh.reshape(h.shape)
+            attns.append(a)
+
+        out = ConvBN(c, 3, bn_momentum=self.bn_momentum, dtype=self.dtype,
+                     name="out_conv0")(h, train)
+        out = ConvBN(c, 3, bn_momentum=self.bn_momentum, dtype=self.dtype,
+                     name="out_conv1")(out, train)
+        out = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="out_conv2")(out)
+        return out, tuple(attns)
+
+
 class ODALimeModel(nn.Module):
     decoder_channels: int = 256
     decoder_layers: int = 16
@@ -120,75 +191,16 @@ class ODALimeModel(nn.Module):
         feats = ODASwinEncoder(
             resize_to_multiple=False, dtype=self.dtype,
             encoder_kwargs=self.encoder_kwargs, name="encoder")(x, train=train)
-        f0, f1, f2, f3 = feats
-        c = self.decoder_channels
-        q4 = (f0.shape[1], f0.shape[2])
 
-        # encoder memory: all stages to 1/4 nearest, concat, LN + Linear
-        enc = jnp.concatenate([
-            f0,
-            resize_nearest(f1, q4),
-            resize_nearest(f2, q4),
-            resize_nearest(f3, q4),
-        ], axis=-1)
-        b = enc.shape[0]
-        enc = enc.reshape(b, -1, enc.shape[-1])
-        enc = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
-                           name="stem_enc_norm")(enc)
-        enc = nn.Dense(2048, dtype=self.dtype, param_dtype=jnp.float32,
-                       kernel_init=trunc_normal_init(0.02),
-                       name="stem_enc_linear")(enc)
-        enc = enc / self.decoder_layers
+        out, attns = ODALimeDecoder(
+            channels=self.decoder_channels, num_layers=self.decoder_layers,
+            attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+            bn_momentum=self.bn_momentum, dtype=self.dtype,
+            name="decoder")(x, feats, train=train)
 
-        # image stem: two stride-2 4x4 convs -> 1/4 scale hidden
-        def bn(name):
-            return nn.BatchNorm(use_running_average=tnn.bn_use_running_average(self, train),
-                                momentum=1.0 - self.bn_momentum,
-                                dtype=self.dtype, param_dtype=jnp.float32,
-                                name=name)
-
-        h = nn.Conv(c // 2, (4, 4), strides=(2, 2), padding=1, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="stem_conv0")(x)
-        h = tnn.gelu(bn("stem_bn0")(h))
-        h = nn.Conv(c, (4, 4), strides=(2, 2), padding=1, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="stem_conv1")(h)
-        h = bn("stem_bn1")(h)
-        if (h.shape[1], h.shape[2]) != q4:
-            h = resize_bilinear(h, q4, align_corners=True)
-
-        attns = []
-        for i in range(self.decoder_layers):
-            h = LimeConvBlock(mid_ch=c, bn_momentum=self.bn_momentum,
-                              dtype=self.dtype, name=f"layers{i}_conv")(h, train)
-            hh = h.reshape(b, -1, c)
-            hh, a = LimeCrossAttention(
-                attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
-                dtype=self.dtype, name=f"layers{i}_attn")(hh, enc, train=train)
-            h = hh.reshape(h.shape)
-            attns.append(a)
-
-        out = ConvBN(c, 3, bn_momentum=self.bn_momentum, dtype=self.dtype,
-                     name="out_conv0")(h, train)
-        out = ConvBN(c, 3, bn_momentum=self.bn_momentum, dtype=self.dtype,
-                     name="out_conv1")(out, train)
-        out = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="out_conv2")(out)
-
-        out = jnp.asarray(out, jnp.float32)
-        if self.out_func == "sigmoid":
-            out = nn.sigmoid(out)
-        elif self.out_func == "scaled_sigmoid":
-            out = scaled_sigmoid(out, 4.0, 0.5)
-        elif self.out_func == "inv_scaled_sigmoid":
-            out = scaled_sigmoid(out, 0.25, 0.5)
-        elif self.out_func == "relu":
-            return nn.relu(out) * self.max_depth + self.min_depth, tuple(attns)
-        else:
-            raise ValueError(f"Unsupported out_func {self.out_func}.")
-        out = out * (self.max_depth - self.min_depth) + self.min_depth
-        return out, tuple(attns)
+        from .lion import apply_out_func
+        out = apply_out_func(out, self.out_func, self.min_depth, self.max_depth)
+        return out, attns
 
     @classmethod
     def build(cls, opt, min_depth, max_depth, **overrides):

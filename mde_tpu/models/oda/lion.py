@@ -228,28 +228,42 @@ class PPMv2(nn.Module):
                        name="conv")(y)
 
 
-class ODALionModel(nn.Module):
-    """(reference ``ODALionModel`` + ``ODALionDecoder``)."""
+def apply_out_func(out: jnp.ndarray, out_func: str,
+                   min_depth: float, max_depth: float) -> jnp.ndarray:
+    """ODA model output heads (reference ``oda_lion.py:46-55,76-83``):
+    sigmoid-family outputs scale to (min, max); relu scales by max."""
+    from .lime import scaled_sigmoid
+    out = jnp.asarray(out, jnp.float32)
+    if out_func == "sigmoid":
+        out = nn.sigmoid(out)
+    elif out_func == "scaled_sigmoid":
+        out = scaled_sigmoid(out, 4.0, 0.5)
+    elif out_func == "inv_scaled_sigmoid":
+        out = scaled_sigmoid(out, 0.25, 0.5)
+    elif out_func == "relu":
+        return nn.relu(out) * max_depth + min_depth
+    else:
+        raise ValueError(f"Unsupported out_func {out_func}.")
+    return out * (max_depth - min_depth) + min_depth
 
-    decoder_channels: int = 2048
-    min_depth: float = 0.001
-    max_depth: float = 80.0
+
+class ODALionDecoder(nn.Module):
+    """(reference ``ODALionDecoder``, ``decoder_lion.py:11-141``). Returns raw
+    (pre-out_func) logits + attention maps."""
+
+    channels: int = 2048
+    ppm_proj: int = 512  # fixed upstream (decoder_lion.py:48-53)
     drop_prob: float = 0.1
     attn_drop_prob: float = 0.0
-    resize_to_multiple: bool = True
     dtype: jnp.dtype = jnp.float32
-    encoder_kwargs: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
-        feats = ODASwinEncoder(
-            resize_to_multiple=self.resize_to_multiple, dtype=self.dtype,
-            encoder_kwargs=self.encoder_kwargs, name="encoder")(x, train=train)
-        f0, f1, f2, f3 = feats
-        c = self.decoder_channels
+    def __call__(self, features, train: bool = False):
+        f0, f1, f2, f3 = features
+        c = self.channels
         hd = [c // 8, c // 4, c // 2, c]
 
-        hidden = PPMv2(proj_ch=min(512, c // 4), out_ch=c, dtype=self.dtype,
+        hidden = PPMv2(proj_ch=self.ppm_proj, out_ch=c, dtype=self.dtype,
                        name="ppm")(f3, train=train)
         pe = self.param("pe", trunc_normal_init(math.sqrt(1.0 / c)),
                         hidden.shape[1:])
@@ -270,8 +284,33 @@ class ODALionModel(nn.Module):
                      name="out_conv0")(hidden, train)
         out = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="out_conv1")(out)
-        out = nn.sigmoid(jnp.asarray(out, jnp.float32))
-        out = out * (self.max_depth - self.min_depth) + self.min_depth
+        return out, attns
+
+
+class ODALionModel(nn.Module):
+    """(reference ``ODALionModel`` + ``ODALionDecoder``)."""
+
+    decoder_channels: int = 2048
+    min_depth: float = 0.001
+    max_depth: float = 80.0
+    drop_prob: float = 0.1
+    attn_drop_prob: float = 0.0
+    out_func: str = "sigmoid"
+    resize_to_multiple: bool = True
+    dtype: jnp.dtype = jnp.float32
+    encoder_kwargs: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        feats = ODASwinEncoder(
+            resize_to_multiple=self.resize_to_multiple, dtype=self.dtype,
+            encoder_kwargs=self.encoder_kwargs, name="encoder")(x, train=train)
+        out, attns = ODALionDecoder(
+            channels=self.decoder_channels, drop_prob=self.drop_prob,
+            attn_drop_prob=self.attn_drop_prob, dtype=self.dtype,
+            ppm_proj=min(512, self.decoder_channels // 4),
+            name="decoder")(feats, train=train)
+        out = apply_out_func(out, self.out_func, self.min_depth, self.max_depth)
         return out, attns
 
     @classmethod
@@ -280,6 +319,7 @@ class ODALionModel(nn.Module):
             decoder_channels=opt.get("decoder_channels", 2048),
             min_depth=min_depth, max_depth=max_depth,
             drop_prob=opt.get("drop_prob", 0.1),
-            attn_drop_prob=opt.get("attn_drop_prob", 0.0))
+            attn_drop_prob=opt.get("attn_drop_prob", 0.0),
+            out_func=opt.get("out_func", "sigmoid"))
         kwargs.update(overrides)
         return cls(**kwargs)

@@ -174,9 +174,12 @@ class ODABinsModel(_ODABase):
             use_gn=self.use_gn, num_groups=self.num_groups, dtype=self.dtype,
             name="decoder")(feats, train=train)
 
+        # embedding_dim follows the decoder width (oda_adabins.py:26-33),
+        # unlike AdaBins' fixed 128
         widths_normed, range_maps = mViT(
             n_query_channels=128, patch_size=16, dim_out=self.num_bins,
-            embedding_dim=128, dtype=self.dtype,
+            embedding_dim=self.decoder_channels // 8, num_heads=4,
+            dtype=self.dtype,
             name="adaptive_bins_layer")(unet_out, train=train)
 
         out = nn.Conv(self.num_bins, (1, 1), dtype=self.dtype,

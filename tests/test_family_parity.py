@@ -242,3 +242,168 @@ def test_depthformer_v7_decoder_parity():
 
 def test_depthformer_v8_decoder_parity():
     _luna_decoder_parity(8, num_heads=4)
+
+
+# ---------------------------------------------------------------------------
+# ODA decoders
+# ---------------------------------------------------------------------------
+
+ODA_IC = (16, 32, 64, 128)
+ODA_SZ = (64, 96)  # encoder input size; features at /4 /8 /16 /32
+
+
+def _oda_feats(seed=300, b=1):
+    """ODA decoders take token sequences (b, hw, c) (``decoder_conv.py:63-71``)."""
+    toks = []
+    maps = []
+    for i, c in enumerate(ODA_IC):
+        h, w = ODA_SZ[0] // 4 // 2 ** i, ODA_SZ[1] // 4 // 2 ** i
+        x = _rand((b, h * w, c), seed=seed + i)
+        toks.append(torch.from_numpy(x))
+        maps.append(jnp.asarray(x.reshape(b, h, w, c)))
+    return toks, tuple(maps)
+
+
+def test_oda_conv_decoder_parity():
+    ref = import_ref("model.ODA.decoder_conv")
+    tm = ref.ODAConvDecoder(channels=32, input_channels=ODA_IC,
+                            input_size=ODA_SZ)
+    tm.eval()
+    toks, maps = _oda_feats()
+    with torch.no_grad():
+        ref_out = tm(toks)
+
+    from mde_tpu.core.family_converters import convert_oda_conv_decoder
+    variables = convert_oda_conv_decoder(state_dict_numpy(tm))
+
+    from mde_tpu.models.oda.decoders import ODAConvDecoder
+    ours = ODAConvDecoder(channels=32)
+    out = ours.apply(variables, maps, False)
+    diff = _max_abs(out, _nhwc(ref_out))
+    assert diff < 1e-4, f"oda_conv decoder: max abs diff {diff}"
+
+
+@pytest.mark.parametrize("use_rp", [False, True])
+def test_oda_luna_decoder_parity(use_rp):
+    mod = "decoder_luna_rp" if use_rp else "decoder_luna"
+    cls = "ODALunaDecoderRP" if use_rp else "ODALunaDecoder"
+    ref = import_ref(f"model.ODA.{mod}")
+    tm = getattr(ref, cls)(channels=32, input_channels=ODA_IC,
+                           input_size=ODA_SZ, num_aux=6, aux_dim=16,
+                           num_heads=4, attn_drop_prob=0.0, drop_prob=0.0)
+    tm.eval()
+    toks, maps = _oda_feats(seed=310)
+    with torch.no_grad():
+        ref_out, ref_aux, _ = tm(toks)
+
+    from mde_tpu.core.family_converters import convert_oda_luna_decoder
+    variables = convert_oda_luna_decoder(state_dict_numpy(tm), use_rp=use_rp)
+
+    from mde_tpu.models.oda.decoders import ODALunaDecoder
+    ours = ODALunaDecoder(channels=32, num_aux=6, aux_dim=16, num_heads=4,
+                          attn_drop_prob=0.0, drop_prob=0.0, use_rp=use_rp)
+    out, aux, _ = ours.apply(variables, maps, False)
+    diff = _max_abs(out, _nhwc(ref_out))
+    assert diff < 1e-4, f"oda_luna(rp={use_rp}) out: max abs diff {diff}"
+    da = _max_abs(aux, ref_aux.numpy())
+    assert da < 1e-4, f"oda_luna(rp={use_rp}) aux: max abs diff {da}"
+
+
+def test_oda_lion_decoder_parity():
+    ref = import_ref("model.ODA.decoder_lion")
+    tm = ref.ODALionDecoder(channels=32, input_channels=ODA_IC,
+                            input_size=ODA_SZ, attn_drop_prob=0.0,
+                            drop_prob=0.0)
+    tm.eval()
+    toks, maps = _oda_feats(seed=320)
+    with torch.no_grad():
+        ref_out, _ = tm(toks, ODA_SZ)
+
+    from mde_tpu.core.family_converters import convert_oda_lion_decoder
+    variables = convert_oda_lion_decoder(state_dict_numpy(tm))
+
+    from mde_tpu.models.oda.lion import ODALionDecoder
+    ours = ODALionDecoder(channels=32, ppm_proj=512,  # fixed upstream
+                          attn_drop_prob=0.0, drop_prob=0.0)
+    out, _ = ours.apply(variables, maps, False)
+    diff = _max_abs(out, _nhwc(ref_out))
+    assert diff < 1e-4, f"oda_lion decoder: max abs diff {diff}"
+
+
+def test_oda_lime_decoder_parity():
+    ref = import_ref("model.ODA.decoder_lime")
+    tm = ref.ODALimeDecoder(channels=16, num_layers=2, input_channels=ODA_IC,
+                            input_size=ODA_SZ, attn_drop_prob=0.0,
+                            drop_prob=0.0)
+    tm.eval()
+    toks, maps = _oda_feats(seed=330)
+    img = _rand((1, 3, ODA_SZ[0], ODA_SZ[1]), seed=331)
+    with torch.no_grad():
+        ref_out, _ = tm(torch.from_numpy(img), toks, ODA_SZ)
+
+    from mde_tpu.core.family_converters import convert_oda_lime_decoder
+    variables = convert_oda_lime_decoder(state_dict_numpy(tm), num_layers=2)
+
+    from mde_tpu.models.oda.lime import ODALimeDecoder
+    ours = ODALimeDecoder(channels=16, num_layers=2, attn_drop_prob=0.0,
+                          drop_prob=0.0)
+    out, _ = ours.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                        maps, False)
+    diff = _max_abs(out, _nhwc(ref_out))
+    assert diff < 1e-4, f"oda_lime decoder: max abs diff {diff}"
+
+
+def test_oda_jeju_decoder_parity():
+    ref = import_ref("model.ODA.decoder_jeju")
+    tm = ref.ODAJejuDecoder(channels=32, input_channels=ODA_IC,
+                            input_size=ODA_SZ, num_aux=8, aux_dim=32,
+                            num_heads=8, attn_drop_prob=0.0, drop_prob=0.0)
+    tm.eval()
+    toks, maps = _oda_feats(seed=340)
+    with torch.no_grad():
+        ref_out, ref_aux, _ = tm(toks, ODA_SZ)
+
+    from mde_tpu.core.family_converters import convert_oda_jeju_decoder
+    variables = convert_oda_jeju_decoder(state_dict_numpy(tm))
+
+    from mde_tpu.models.oda.jeju import ODAJejuDecoder
+    ours = ODAJejuDecoder(channels=32, num_aux=8, num_heads=8, ppm_proj=512,
+                          attn_drop_prob=0.0, drop_prob=0.0)
+    out, aux, _ = ours.apply(variables, maps, False)
+    diff = _max_abs(out, _nhwc(ref_out))
+    assert diff < 1e-4, f"oda_jeju decoder: max abs diff {diff}"
+    da = _max_abs(aux, ref_aux.numpy())
+    assert da < 1e-4, f"oda_jeju aux: max abs diff {da}"
+
+
+# ---------------------------------------------------------------------------
+# ODA2 sibling decoders
+# ---------------------------------------------------------------------------
+
+
+def _oda2_feats(ic=ODA_IC, h4=16, w4=24, b=1, seed=400):
+    """ODA2 decoders take NCHW maps at /4 /8 /16 /32."""
+    maps_t, maps_j = [], []
+    for i, c in enumerate(ic):
+        x = _rand((b, c, h4 // 2 ** i, w4 // 2 ** i), seed=seed + i)
+        maps_t.append(torch.from_numpy(x))
+        maps_j.append(jnp.asarray(x.transpose(0, 2, 3, 1)))
+    return maps_t, tuple(maps_j)
+
+
+def test_oda2_conv_decoder_parity():
+    ref = import_ref("model.ODA2.oda2_conv_decoder")
+    tm = ref.ODA2ConvDecoder(channels=32, input_channels=ODA_IC)
+    tm.eval()
+    maps_t, maps_j = _oda2_feats()
+    with torch.no_grad():
+        ref_out = tm(maps_t)
+
+    from mde_tpu.core.family_converters import convert_oda2_conv_decoder
+    variables = convert_oda2_conv_decoder(state_dict_numpy(tm))
+
+    from mde_tpu.models.oda2.conv import ODA2ConvDecoder
+    ours = ODA2ConvDecoder(channels=32)
+    out = ours.apply(variables, maps_j, False)
+    diff = _max_abs(out, _nhwc(ref_out))
+    assert diff < 1e-4, f"oda2_conv decoder: max abs diff {diff}"
