@@ -576,3 +576,323 @@ def _convbn_oda2(acc: KeyAccountant, p: str):
     bnp, bns = _bn_pair(acc, f"{p}.bn")
     params["norm"] = bnp["bn"]
     return params, {"norm": bns["bn"]}
+
+
+def _red_neck(acc: KeyAccountant, p: str = ""):
+    """Red-style neck (``oda2_red_decoder.py:179-205`` /
+    ``oda2_red_order_reg_decoder.py:355-384``): per-scale 2x ConvBN chains,
+    concat, bias-free Linear + LN. The plain red decoder calls its final LN
+    ``norm``; the ordered decoders call it ``dec_norm`` — pass ``norm_key``."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for s in ("32", "16", "8", "4"):
+        for j in range(2):
+            (params[f"enc_conv{s}_{j}"],
+             stats[f"enc_conv{s}_{j}"]) = _convbn_oda2(
+                acc, f"{p}enc_conv{s}.{j}")
+    params["dec_linear"] = _dense(acc, f"{p}dec_linear", bias=False)
+    norm_key = f"{p}norm" if f"{p}norm.weight" in acc.state else f"{p}dec_norm"
+    params["dec_norm"] = _ln(acc, norm_key)
+    return params, stats
+
+
+def _plain_reduction_sa(acc: KeyAccountant, p: str):
+    """``PreNormReductionSA`` (``oda2_red_decoder.py:41-120``)."""
+    return {
+        "norm": _ln(acc, f"{p}.norm"),
+        "q_proj": _dense(acc, f"{p}.q_proj"),
+        "k_proj": _dense(acc, f"{p}.k_proj"),
+        "v_proj": _dense(acc, f"{p}.v_proj"),
+        "o_proj": _dense(acc, f"{p}.o_proj"),
+    }
+
+
+def _prenorm_ff(acc: KeyAccountant, p: str):
+    """``PreNormFF`` (``oda2_red_order_reg_decoder.py:11-40``)."""
+    return {"norm": _ln(acc, f"{p}.norm"),
+            "lin1": _dense(acc, f"{p}.lin1"),
+            "lin2": _dense(acc, f"{p}.lin2")}
+
+
+def convert_oda2_red_decoder(torch_state) -> Dict[str, Any]:
+    """``ReductionTransformerRegDecoder`` (``oda2_red_decoder.py:162-230``)."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["neck"], stats["neck"] = _red_neck(acc)
+
+    red: Dict[str, Any] = {}
+    for name in ("8_1", "8_2", "4_1", "4_2"):
+        red[f"sa{name}"] = _plain_reduction_sa(acc, f"reducer.sa{name}")
+        red[f"ff{name}"] = _prenorm_ff(acc, f"reducer.ff{name}")
+    params["reducer"] = red
+
+    p, s = _convbn_oda2(acc, "out_conv.0")
+    params["out_conv0"], stats["out_conv0"] = p, s
+    params["out_conv1"] = _conv(acc, "out_conv.1")
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def _oda2_luna_layer(acc: KeyAccountant, p: str):
+    """``ODA2LunaLayer`` (``oda2_luna_reg_decoder.py:10-133``)."""
+    params: Dict[str, Any] = {}
+    for n in ("q_self", "k_self", "v_self", "o_self",
+              "q_cross1", "k_cross1", "v_cross1", "o_cross1",
+              "q_cross2", "k_cross2", "v_cross2", "o_cross2"):
+        params[n] = _dense(acc, f"{p}.{n}")
+    for n in ("norm_self", "norm_cross1", "norm_ff"):
+        params[n] = _ln(acc, f"{p}.{n}")
+    params["ff0"] = _dense(acc, f"{p}.ff.0")
+    params["ff1"] = _dense(acc, f"{p}.ff.3")
+    return params
+
+
+def _oda2_luna_gate(acc: KeyAccountant, p: str):
+    """``ODA2LunaGating`` (``oda2_luna_reg_decoder.py:135-166``)."""
+    params: Dict[str, Any] = {
+        "conv": _conv(acc, f"{p}.conv"),
+        "luna": _oda2_luna_layer(acc, f"{p}.luna"),
+        "conv_out": _conv(acc, f"{p}.conv_out", bias=False),
+    }
+    bnp, bns = _bn_pair(acc, f"{p}.norm_out")
+    params["norm_out"] = bnp["bn"]
+    return params, {"norm_out": bns["bn"]}
+
+
+def convert_oda2_luna_decoder(torch_state, cls_head: bool = False
+                              ) -> Dict[str, Any]:
+    """``ODA2LunaRegDecoder`` / ``ODA2LunaClsDecoder``
+    (``oda2_luna_reg_decoder.py:169-285``, ``oda2_luna_cls_decoder.py``)."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {"aux": acc.take("aux")}
+    stats: Dict[str, Any] = {}
+    params["ppm"], stats["ppm"] = _oda2_ppm(acc, "ppm")
+
+    def cb(our, torch_p):
+        p, s = _convbn_oda2(acc, torch_p)
+        params[our], stats[our] = p, s
+
+    cb("block32_0", "block32.0")
+    cb("block32_1", "block32.1")
+    for level in (16, 8):
+        cb(f"block{level}_lateral", f"block{level}_lateral")
+        (params[f"block{level}_gate"],
+         stats[f"block{level}_gate"]) = _oda2_luna_gate(
+            acc, f"block{level}_gate")
+        cb(f"block{level}_0", f"block{level}.0")
+        cb(f"block{level}_1", f"block{level}.1")
+    cb("block4_lateral", "block4_lateral")
+    params["block4_gate"], stats["block4_gate"] = _oda2_luna_gate(
+        acc, "block4_gate")
+    cb("block4_0", "block4.0")
+    params["block4_out"] = _conv(acc, "block4.1")
+    if cls_head:
+        params["bins0"] = _dense(acc, "bins.0")
+        params["bins1"] = _dense(acc, "bins.2")
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_oda2_red_luna_decoder(torch_state, num_layers: int = 4
+                                  ) -> Dict[str, Any]:
+    """``LunaTransformerRegDecoder`` (``oda2_red_luna_decoder.py:239-346``)."""
+    acc = KeyAccountant(torch_state)
+    acc.skip(r"^aux$")  # fixed sinusoidal buffer, regenerated on our side
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["neck"], stats["neck"] = _red_neck(acc)
+
+    params["aux_linear1"] = _dense(acc, "aux_linear1")
+    params["enc_to_aux"] = _dense(acc, "enc_to_aux")
+    params["aux_linear2"] = _dense(acc, "aux_linear2", bias=False)
+    params["aux_norm"] = _ln(acc, "aux_norm")
+
+    def split_luna(p):
+        return {
+            "norm": _ln(acc, f"{p}.norm"),
+            "aux_norm": _ln(acc, f"{p}.aux_norm"),
+            "q_proj": _dense(acc, f"{p}.q_proj"),
+            "k_proj": _dense(acc, f"{p}.k_proj"),
+            "v_proj": _dense(acc, f"{p}.v_proj"),
+            "o_proj": _dense(acc, f"{p}.o_proj"),
+        }
+
+    luna: Dict[str, Any] = {}
+    for i in range(num_layers):
+        lp = f"luna.layers.{i}"
+        luna[f"layers{i}_luna1"] = split_luna(f"{lp}.luna1")
+        luna[f"layers{i}_ff_aux"] = _prenorm_ff(acc, f"{lp}.ff_aux")
+        luna[f"layers{i}_luna2"] = split_luna(f"{lp}.luna2")
+        luna[f"layers{i}_ff"] = _prenorm_ff(acc, f"{lp}.ff")
+    params["luna"] = luna
+
+    p, s = _convbn_oda2(acc, "out_conv.0")
+    params["out_conv0"], stats["out_conv0"] = p, s
+    params["out_conv1"] = _conv(acc, "out_conv.1")
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def _ordered_reduction_sa(acc: KeyAccountant, p: str):
+    """``PreNormOrderedReductionSA`` (``oda2_red_order_reg_decoder.py:96-187``)."""
+    params = _plain_reduction_sa(acc, p)
+    params["mean_proj"] = _dense(acc, f"{p}.mean_proj", bias=False)
+    params["mean_norm"] = _ln(acc, f"{p}.mean_norm")
+    return params
+
+
+def _ordered_reduction_block(acc: KeyAccountant, p: str):
+    """``OrderedReductionBlock`` (``oda2_red_order_reg_decoder.py:190-243``)."""
+    from .checkpoint import _dwconv_ff
+    params: Dict[str, Any] = {
+        "de_ff0": _dense(acc, f"{p}.de_ff.0"),
+        "de_ff1": _dense(acc, f"{p}.de_ff.3", bias=False),
+        "de_norm": _ln(acc, f"{p}.de_norm"),
+        "sa1": _ordered_reduction_sa(acc, f"{p}.sa1"),
+        "sa2": _ordered_reduction_sa(acc, f"{p}.sa2"),
+        "norm2": _ln(acc, f"{p}.norm2"),
+    }
+    stats: Dict[str, Any] = {}
+    params["ff1"], stats["ff1"] = _dwconv_ff(acc, f"{p}.ff1")
+    params["ff2"], stats["ff2"] = _dwconv_ff(acc, f"{p}.ff2")
+    return params, stats
+
+
+def convert_oda2_red_order_decoder(torch_state, num_repeats: int,
+                                   cls_head: bool = False) -> Dict[str, Any]:
+    """``OrderedReductionRegDecoder`` / ``OrderedReductionClsDecoder``
+    (``oda2_red_order_reg_decoder.py:335-426``,
+    ``oda2_red_order_cls_decoder.py:107-292``)."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["neck"], stats["neck"] = _red_neck(acc)
+
+    red: Dict[str, Any] = {}
+    red_s: Dict[str, Any] = {}
+    if cls_head:
+        # torch stores bins as (1, num_emb, 1, 1) for NCHW broadcast
+        red["depth_bins"] = acc.take("reducer.depth_bins").reshape(-1)
+        red["depth_embedding"] = acc.take("reducer.depth_embedding")
+    else:
+        acc.skip(r"reducer\.depth_embedding$")  # fixed sinusoidal buffer
+    for i in range(num_repeats + 1):
+        cp = f"reducer.conv_layers.{i}"
+        for j in range(2):
+            (red[f"conv{i}_{j}"],
+             red_s[f"conv{i}_{j}"]) = _convbn_oda2(acc, f"{cp}.{j}")
+        red[f"conv{i}_out"] = _conv(acc, f"{cp}.2", bias=cls_head)
+    for i in range(num_repeats):
+        p, s = _ordered_reduction_block(acc, f"reducer.attn_layers.{i}")
+        red[f"attn{i}"] = p
+        red_s[f"attn{i}"] = s
+    params["reducer"] = red
+    stats["reducer"] = red_s
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_oda2_red_order_swin_decoder(torch_state, num_repeats: int
+                                        ) -> Dict[str, Any]:
+    """Gen-1 ``OrderedSwinRegDecoder``
+    (``oda2_red_order_swin_decoder.py:222-300``)."""
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    neck: Dict[str, Any] = {}
+    neck_s: Dict[str, Any] = {}
+    for s in ("32", "16", "8", "4"):
+        for j in range(3):
+            (neck[f"enc_conv{s}_{j}"],
+             neck_s[f"enc_conv{s}_{j}"]) = _convbn_oda2(acc, f"enc_conv{s}.{j}")
+    neck["dec_linear"] = _dense(acc, "dec_linear", bias=False)
+    neck["dec_norm"] = _ln(acc, "dec_norm")
+    params["neck"], stats["neck"] = neck, neck_s
+
+    red: Dict[str, Any] = {}
+    red_s: Dict[str, Any] = {}
+    # learnable UNSCALED sinusoidal table — copied verbatim (our module also
+    # stores it unscaled and applies sqrt(1/d) at lookup)
+    red["depth_embedding"] = acc.take("reducer.depth_embedding")
+    for i in range(num_repeats + 1):
+        cp = f"reducer.conv_layers.{i}"
+        for j in range(2):
+            (red[f"conv{i}_{j}"],
+             red_s[f"conv{i}_{j}"]) = _convbn_oda2(acc, f"{cp}.{j}")
+        red[f"conv{i}_out"] = _conv(acc, f"{cp}.2", bias=False)
+    for i in range(num_repeats):
+        bp = f"reducer.attn_layers.{i}"
+        blk: Dict[str, Any] = {
+            "de_proj": _dense(acc, f"{bp}.de_proj", bias=False),
+            "de_norm": _ln(acc, f"{bp}.de_norm"),
+            "ff1": _prenorm_ff(acc, f"{bp}.ff1"),
+            "ff2": _prenorm_ff(acc, f"{bp}.ff2"),
+            "sa1": _plain_reduction_sa(acc, f"{bp}.sa1"),
+            "sa2": _plain_reduction_sa(acc, f"{bp}.sa2"),
+            "linear": _dense(acc, f"{bp}.linear", bias=False),
+            "norm": _ln(acc, f"{bp}.norm"),
+        }
+        red[f"attn{i}"] = blk
+    params["reducer"] = red
+    stats["reducer"] = red_s
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_oda2_ksa_decoder(torch_state, depths=(2, 2, 2, 2)
+                             ) -> Dict[str, Any]:
+    """``KSATransformerRegDecoder`` (``oda2_ksa_decoder.py:458-612``)."""
+    from .checkpoint import _swin_block_params
+    acc = KeyAccountant(torch_state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["ppm32"], stats["ppm32"] = _oda2_ppm(acc, "ppm32")
+    for s in ("16", "8", "4"):
+        (params[f"enc_conv{s}"],
+         stats[f"enc_conv{s}"]) = _convbn_oda2(acc, f"enc_conv{s}")
+
+    acc.skip(r"relative_position_index")
+    n_layers = len(depths)
+    for i in range(n_layers):
+        for j in range(depths[i]):
+            bp = f"layers.{i}.blocks.{j}"
+            if i < n_layers - 1:
+                # KSA block
+                blk: Dict[str, Any] = {
+                    "norm_kernel": _ln(acc, f"{bp}.norm_kernel"),
+                    "norm_enc": _ln(acc, f"{bp}.norm_enc"),
+                    "kernel_attn": {
+                        "q": _dense(acc, f"{bp}.kernel_attn.q"),
+                        "kv": _dense(acc, f"{bp}.kernel_attn.kv"),
+                        "proj": _dense(acc, f"{bp}.kernel_attn.proj"),
+                    },
+                    "norm_ff1": _ln(acc, f"{bp}.norm_ff1"),
+                    "mlp1": {"fc1": _dense(acc, f"{bp}.mlp1.fc1"),
+                             "fc2": _dense(acc, f"{bp}.mlp1.fc2")},
+                    "norm_attn": _ln(acc, f"{bp}.norm_attn"),
+                    "attn": {
+                        "relative_position_bias_table": acc.take(
+                            f"{bp}.attn.relative_position_bias_table"),
+                        "qkv": _dense(acc, f"{bp}.attn.qkv"),
+                        "proj": _dense(acc, f"{bp}.attn.proj"),
+                    },
+                    "norm_ff2": _ln(acc, f"{bp}.norm_ff2"),
+                    "mlp2": {"fc1": _dense(acc, f"{bp}.mlp2.fc1"),
+                             "fc2": _dense(acc, f"{bp}.mlp2.fc2")},
+                }
+            else:
+                blk = _swin_block_params(acc, bp)
+            params[f"layers{i}_blocks{j}"] = blk
+        if i > 0:
+            p, s = _convbn_oda2(acc, f"layers.{i}.upsample.expansion")
+            params[f"layers{i}_up"] = {"expansion": p}
+            stats[f"layers{i}_up"] = {"expansion": s}
+
+    p, s = _convbn_oda2(acc, "dec_conv4")
+    params["dec_conv4"], stats["dec_conv4"] = p, s
+    params["out_conv"] = _conv(acc, "out_conv")
+    acc.assert_exhausted()
+    return {"params": params, "batch_stats": stats}

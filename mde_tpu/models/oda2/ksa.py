@@ -97,8 +97,14 @@ class KernelWindowAttention(nn.Module):
 
 
 class KSABlock(nn.Module):
-    """KSA transformer block (reference ``KSATransformerBlock``; the
-    upstream forward mis-rolls windowed tensors — evident intent realized)."""
+    """KSA transformer block — VERBATIM port of the reference
+    ``KSATransformerBlock.forward`` (``oda2_ksa_decoder.py:167-251``),
+    including its quirky shifted-path rolls: after the kernel attention and
+    after the W-MSA it rolls the *windowed token tensor* on dims (1, 2) =
+    (token-index, channel) by +shift — NOT a spatial unshift — and never
+    spatially unshifts the map (the mid-block roll at ``:222-224`` shifts the
+    full map a second time). Reproduced deliberately: any released weights
+    were trained with exactly this dataflow."""
 
     num_heads: int
     window_size: int = 7
@@ -114,21 +120,22 @@ class KSABlock(nn.Module):
     def __call__(self, x: jnp.ndarray, enc: jnp.ndarray, train: bool = False):
         b, h, w, c = x.shape
         r = self.window_size
+        s = self.shift_size
         drop_path = DropPath(self.path_drop_prob, name="drop_path")
 
         x = pad_to_multiple(x, r, mode="edge")
         enc = pad_to_multiple(enc, r, mode="edge")
         hp, wp = x.shape[1], x.shape[2]
 
-        if self.shift_size > 0:
-            xs = cyclic_shift(x, self.shift_size)
-            es = cyclic_shift(enc, self.shift_size)
-            mask = shifted_window_attn_mask(hp, wp, r, self.shift_size)
+        if s > 0:
+            xs = cyclic_shift(x, s)
+            es = cyclic_shift(enc, s)
+            mask = shifted_window_attn_mask(hp, wp, r, s)
         else:
             xs, es, mask = x, enc, None
 
-        # K-MSA
-        xw = window_partition(xs, r)
+        # K-MSA on windowed tokens
+        xw = window_partition(xs, r)        # (bw, n, c)
         ew = window_partition(es, r)
         xn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_kernel")(xw)
@@ -138,12 +145,13 @@ class KSABlock(nn.Module):
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
             dtype=self.dtype, name="kernel_attn")(xn, en, train=train)
-        xw = xw + drop_path(kw, deterministic=not train)
-        y = window_reverse(xw, r, hp, wp)
-        if self.shift_size > 0:
-            y = cyclic_unshift(y, self.shift_size)
+        kw = xw + drop_path(kw, deterministic=not train)
+        if s > 0:
+            # reference ``:214``: roll on (token, channel) of the token tensor
+            kw = jnp.roll(kw, shift=(s, s), axis=(1, 2))
+        y = window_reverse(kw, r, hp, wp)   # no spatial unshift (reference)
 
-        # FFN1
+        # FFN1 on the full map
         yn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_ff1")(y)
         yn = SwinMLP(hidden_features=int(c * self.mlp_ratio),
@@ -152,18 +160,20 @@ class KSABlock(nn.Module):
         y = y + drop_path(yn, deterministic=not train)
 
         # W-MSA / SW-MSA
-        ys = cyclic_shift(y, self.shift_size) if self.shift_size > 0 else y
-        yw = window_partition(ys, r)
+        if s > 0:
+            y = cyclic_shift(y, s)          # reference ``:222``: shifts AGAIN
+        yw = window_partition(y, r)
         yn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                           name="norm_attn")(yw)
         aw = WindowAttention(
             num_heads=self.num_heads, window_size=r, qkv_bias=self.qkv_bias,
             attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
             dtype=self.dtype, name="attn")(yn, mask=mask, train=train)
-        yw = yw + drop_path(aw, deterministic=not train)
-        y = window_reverse(yw, r, hp, wp)
-        if self.shift_size > 0:
-            y = cyclic_unshift(y, self.shift_size)
+        aw = yw + drop_path(aw, deterministic=not train)
+        if s > 0:
+            # reference ``:245``: the same (token, channel) roll
+            aw = jnp.roll(aw, shift=(s, s), axis=(1, 2))
+        y = window_reverse(aw, r, hp, wp)   # no spatial unshift (reference)
 
         # FFN2
         yn = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
@@ -191,6 +201,77 @@ class PatchUnMerging(nn.Module):
         y = g.reshape(b, 2 * h, 2 * w, d // 4)
         return ConvBN(d // 2, 3, bn_momentum=self.bn_momentum,
                       dtype=self.dtype, name="expansion")(y, train)
+
+
+class KSATransformerRegDecoder(nn.Module):
+    """Reference ``KSATransformerRegDecoder``
+    (``oda2_ksa_decoder.py:458-612``): PPM at 1/32 + per-scale ConvBN
+    laterals; 4 KSA stages coarse->fine (the coarsest is plain Swin blocks),
+    PatchUnMerging between; ConvBN + 3x3 VALID conv head + sigmoid."""
+
+    dec_dim: int
+    depths: Tuple[int, ...] = (2, 2, 2, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 7
+    ppm_proj: int = 512  # fixed upstream (oda2_ksa_decoder.py:498-500)
+    drop_prob: float = 0.0
+    attn_drop_prob: float = 0.0
+    path_drop_prob: float = 0.2
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_features, train: bool = False):
+        e4, e8, e16, e32 = enc_features
+        d = self.dec_dim
+        nf = [d // 8, d // 4, d // 2, d]
+        ck = dict(bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+                  dtype=self.dtype)
+
+        e32 = PyramidPoolingModule(proj_ch=self.ppm_proj, out_ch=d,
+                                   bn_momentum=self.bn_momentum,
+                                   bn_eps=self.bn_eps, dtype=self.dtype,
+                                   name="ppm32")(e32, train=train)
+        e16 = ConvBN(nf[2], 3, name="enc_conv16", **ck)(e16, train)
+        e8 = ConvBN(nf[1], 3, name="enc_conv8", **ck)(e8, train)
+        e4 = ConvBN(nf[0], 3, name="enc_conv4", **ck)(e4, train)
+
+        total = sum(self.depths)
+        pdp = [self.path_drop_prob * i / max(total - 1, 1)
+               for i in range(total)]
+
+        def stage(i_layer, xdec, enc_feat, train):
+            use_ksa = i_layer < len(self.depths) - 1
+            start = sum(self.depths[:i_layer])
+            for j in range(self.depths[i_layer]):
+                shift = 0 if j % 2 == 0 else self.window_size // 2
+                common = dict(num_heads=self.num_heads[i_layer],
+                              window_size=self.window_size, shift_size=shift,
+                              attn_drop_prob=self.attn_drop_prob,
+                              drop_prob=self.drop_prob,
+                              path_drop_prob=pdp[start + j], dtype=self.dtype,
+                              name=f"layers{i_layer}_blocks{j}")
+                if use_ksa:
+                    xdec = KSABlock(**common)(xdec, enc_feat, train=train)
+                else:
+                    xdec = SwinBlock(**common)(xdec, train=train)
+            if i_layer > 0:
+                xdec = PatchUnMerging(bn_momentum=self.bn_momentum,
+                                      dtype=self.dtype,
+                                      name=f"layers{i_layer}_up")(xdec, train)
+            return xdec
+
+        xdec = stage(3, e32, e32, train)          # 1/32 (plain Swin blocks)
+        xdec = stage(2, xdec, e16, train)         # 1/16
+        xdec = stage(1, xdec, e8, train)          # 1/8
+        xdec = stage(0, xdec, e4, train)          # 1/4
+
+        out_ch = min(nf[0], 128)
+        out = ConvBN(out_ch, 3, name="dec_conv4", **ck)(xdec, train)
+        out = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
+                      param_dtype=jnp.float32, name="out_conv")(out)
+        return nn.sigmoid(jnp.asarray(out, jnp.float32))
 
 
 class ODA2KSARegModel(nn.Module):
@@ -228,56 +309,16 @@ class ODA2KSARegModel(nn.Module):
             enc = swin_large(**kwargs)
         else:
             enc = SwinTransformer(**kwargs)
-        e4, e8, e16, e32 = enc(x, train=train)
+        feats = enc(x, train=train)
 
-        d = self.dec_dim
-        nf = [d // 8, d // 4, d // 2, d]
-        ck = dict(bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
-                  dtype=self.dtype)
-
-        e32 = PyramidPoolingModule(proj_ch=min(512, d), out_ch=d,
-                                   bn_momentum=self.bn_momentum,
-                                   bn_eps=self.bn_eps, dtype=self.dtype,
-                                   name="ppm32")(e32, train=train)
-        e16 = ConvBN(nf[2], 3, name="enc_conv16", **ck)(e16, train)
-        e8 = ConvBN(nf[1], 3, name="enc_conv8", **ck)(e8, train)
-        e4 = ConvBN(nf[0], 3, name="enc_conv4", **ck)(e4, train)
-
-        total = sum(self.depths)
-        pdp = [self.path_drop_prob * i / max(total - 1, 1)
-               for i in range(total)]
-
-        def stage(i_layer, xdec, enc_feat, train):
-            use_ksa = i_layer < len(self.depths) - 1
-            start = sum(self.depths[:i_layer])
-            for j in range(self.depths[i_layer]):
-                shift = 0 if j % 2 == 0 else self.window_size // 2
-                common = dict(num_heads=self.dec_num_heads[i_layer],
-                              window_size=self.window_size, shift_size=shift,
-                              attn_drop_prob=self.attn_drop_prob,
-                              drop_prob=self.drop_prob,
-                              path_drop_prob=pdp[start + j], dtype=self.dtype,
-                              name=f"layers{i_layer}_blocks{j}")
-                if use_ksa:
-                    xdec = KSABlock(**common)(xdec, enc_feat, train=train)
-                else:
-                    xdec = SwinBlock(**common)(xdec, train=train)
-            if i_layer > 0:
-                xdec = PatchUnMerging(bn_momentum=self.bn_momentum,
-                                      dtype=self.dtype,
-                                      name=f"layers{i_layer}_up")(xdec, train)
-            return xdec
-
-        xdec = stage(3, e32, e32, train)          # 1/32 (plain Swin blocks)
-        xdec = stage(2, xdec, e16, train)         # 1/16
-        xdec = stage(1, xdec, e8, train)          # 1/8
-        xdec = stage(0, xdec, e4, train)          # 1/4
-
-        out_ch = min(nf[0], 128)
-        out = ConvBN(out_ch, 3, name="dec_conv4", **ck)(xdec, train)
-        out = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
-                      param_dtype=jnp.float32, name="out_conv")(out)
-        out = nn.sigmoid(jnp.asarray(out, jnp.float32))
+        out = KSATransformerRegDecoder(
+            dec_dim=self.dec_dim, depths=self.depths,
+            num_heads=self.dec_num_heads, window_size=self.window_size,
+            ppm_proj=min(512, self.dec_dim),
+            drop_prob=self.drop_prob, attn_drop_prob=self.attn_drop_prob,
+            path_drop_prob=self.path_drop_prob,
+            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            dtype=self.dtype, name="decoder")(feats, train=train)
         out = out * (self.max_depth - self.min_depth) + self.min_depth
         return out, None
 

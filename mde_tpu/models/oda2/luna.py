@@ -139,6 +139,7 @@ class ODA2LunaDecoder(nn.Module):
     aux_dims: int
     num_heads: int
     cls_head: bool = False
+    ppm_proj: int = 512  # fixed upstream (oda2_luna_reg_decoder.py:191-194)
     attn_drop_prob: float = 0.0
     drop_prob: float = 0.1
     bn_momentum: float = 0.1
@@ -164,7 +165,7 @@ class ODA2LunaDecoder(nn.Module):
         aux = (jnp.broadcast_to(aux0, (b,) + aux0.shape[1:])
                * math.sqrt(1.0 / self.aux_dims)).astype(self.dtype)
 
-        x = PyramidPoolingModule(proj_ch=512 if c >= 512 else c // 2,
+        x = PyramidPoolingModule(proj_ch=self.ppm_proj,
                                  out_ch=c, bn_momentum=self.bn_momentum,
                                  bn_eps=self.bn_eps, dtype=self.dtype,
                                  name="ppm")(f3, train=train)
@@ -201,13 +202,13 @@ class ODA2LunaDecoder(nn.Module):
             return nn.sigmoid(jnp.asarray(out, jnp.float32)), None
 
         bin_probs = nn.softmax(jnp.asarray(out, jnp.float32), axis=-1)
+        # bins head: Linear -> ReLU -> Linear(1) (oda2_luna_cls_decoder.py:243-249)
         wdt = jnp.asarray(aux, jnp.float32)
-        for i, feat in enumerate((self.aux_dims, self.aux_dims, 1)):
-            wdt = nn.Dense(feat, param_dtype=jnp.float32,
-                           kernel_init=trunc_normal_init(0.02),
-                           name=f"bins{i}")(wdt)
-            if i < 2:
-                wdt = tnn.gelu(wdt)
+        wdt = nn.Dense(self.aux_dims, param_dtype=jnp.float32,
+                       kernel_init=trunc_normal_init(0.02), name="bins0")(wdt)
+        wdt = nn.relu(wdt)
+        wdt = nn.Dense(1, param_dtype=jnp.float32,
+                       kernel_init=trunc_normal_init(0.02), name="bins1")(wdt)
         wdt = wdt[..., 0]  # (b, num_aux)
         wdt = jnp.where(wdt > 0, wdt,
                         0.1 * (jnp.exp(jnp.minimum(wdt, 0.0)) - 1.0)) + 0.1

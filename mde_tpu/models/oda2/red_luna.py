@@ -116,6 +116,62 @@ class StackedLunaModule(nn.Module):
         return x, aux, attns
 
 
+class LunaTransformerRegDecoder(nn.Module):
+    """Reference ``LunaTransformerRegDecoder``
+    (``oda2_red_luna_decoder.py:239-346``): red neck; a FIXED sinusoidal aux
+    bank gated by the mean of the pre-linear neck concat
+    (``aux_linear1 -> * sigmoid(enc_to_aux(mean(enc))) -> aux_linear2 ->
+    aux_norm``, ``:299-303,330-337``); stacked split-Luna; ConvBN + 3x3 VALID
+    conv head + sigmoid."""
+
+    dec_dim: int
+    num_aux: int = 256
+    num_heads: int = 8
+    num_layers: int = 4
+    attn_drop_prob: float = 0.0
+    drop_prob: float = 0.0
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_features, train: bool = False):
+        dec, cat = _RedNeck(dec_dim=self.dec_dim,
+                            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+                            return_concat=True, dtype=self.dtype,
+                            name="neck")(enc_features, train=train)
+        b = dec.shape[0]
+        d = self.dec_dim
+
+        def dense(feat, name, bias=True):
+            return nn.Dense(feat, use_bias=bias, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=trunc_normal_init(0.02), name=name)
+
+        aux = jnp.broadcast_to(_sin_aux(self.num_aux, d)[None],
+                               (b, self.num_aux, d)).astype(self.dtype)
+        aux = dense(d, "aux_linear1")(aux)
+        enc_mean = jnp.asarray(cat, jnp.float32).mean(axis=(1, 2))  # (b, c)
+        aux_weight = dense(d, "enc_to_aux")(enc_mean.astype(self.dtype))
+        aux = aux * nn.sigmoid(jnp.asarray(aux_weight, aux.dtype))[:, None, :]
+        aux = dense(d, "aux_linear2", bias=False)(aux)
+        aux = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                            name="aux_norm")(aux)
+
+        dec, aux, attns = StackedLunaModule(
+            num_heads=self.num_heads, num_layers=self.num_layers,
+            attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+            dtype=self.dtype, name="luna")(dec, aux, train=train)
+
+        out = ConvBN(self.dec_dim // 4, 3, bn_momentum=self.bn_momentum,
+                     bn_eps=self.bn_eps, dtype=self.dtype,
+                     name="out_conv0")(dec, train)
+        out = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
+                      param_dtype=jnp.float32, name="out_conv1")(out)
+        out = nn.sigmoid(jnp.asarray(out, jnp.float32))
+        return out, aux, attns
+
+
 class ODA2RedLunaRegModel(nn.Module):
     dec_dim: int
     min_depth: float
@@ -153,25 +209,12 @@ class ODA2RedLunaRegModel(nn.Module):
             enc = SwinTransformer(**kwargs)
         feats = enc(x, train=train)
 
-        dec = _RedNeck(dec_dim=self.dec_dim, bn_momentum=self.bn_momentum,
-                       bn_eps=self.bn_eps, dtype=self.dtype,
-                       name="neck")(feats, train=train)
-
-        aux = jnp.broadcast_to(
-            _sin_aux(self.num_aux, self.dec_dim)[None],
-            (dec.shape[0], self.num_aux, self.dec_dim)).astype(self.dtype)
-
-        dec, aux, attns = StackedLunaModule(
+        out, aux, attns = LunaTransformerRegDecoder(
+            dec_dim=self.dec_dim, num_aux=self.num_aux,
             num_heads=self.num_heads, num_layers=self.num_layers,
             attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
-            dtype=self.dtype, name="reducer")(dec, aux, train=train)
-
-        out = ConvBN(self.dec_dim // 4, 3, bn_momentum=self.bn_momentum,
-                     bn_eps=self.bn_eps, dtype=self.dtype,
-                     name="out_conv0")(dec, train)
-        out = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
-                      param_dtype=jnp.float32, name="out_conv1")(out)
-        out = nn.sigmoid(jnp.asarray(out, jnp.float32))
+            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            dtype=self.dtype, name="decoder")(feats, train=train)
         out = out * (self.max_depth - self.min_depth) + self.min_depth
         return out, attns
 

@@ -97,6 +97,7 @@ class _RedNeck(nn.Module):
     dec_dim: int
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    return_concat: bool = False  # red_luna needs the pre-linear concat too
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,12 +119,14 @@ class _RedNeck(nn.Module):
         e8 = chain(e8, d, 2, "enc_conv8")
         e4 = chain(e4, d * 2, 1, "enc_conv4")
 
-        dec = jnp.concatenate([e4, e8, e16, e32], axis=-1)
+        cat = jnp.concatenate([e4, e8, e16, e32], axis=-1)
         dec = nn.Dense(d, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32,
-                       kernel_init=trunc_normal_init(0.02), name="dec_linear")(dec)
+                       kernel_init=trunc_normal_init(0.02), name="dec_linear")(cat)
         dec = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                            name="dec_norm")(dec)
+        if self.return_concat:
+            return dec, cat
         return dec
 
 
@@ -254,6 +257,43 @@ class OrderedReductionClsHead(nn.Module):
         return tuple(outs), attns
 
 
+class OrderedReductionDecoder(nn.Module):
+    """Reference ``OrderedReductionRegDecoder`` / ``OrderedReductionClsDecoder``
+    (``oda2_red_order_reg_decoder.py:335-426``,
+    ``oda2_red_order_cls_decoder.py:107-292``): red neck + ordered reduction
+    head. Returns the raw per-repeat sigmoid/expected-value maps."""
+
+    dec_dim: int
+    num_heads: int
+    num_repeats: int
+    num_emb: int = 128
+    reduction_ratio: int = 8
+    temperature: float = 1.0
+    cls_head: bool = False
+    attn_drop_prob: float = 0.0
+    drop_prob: float = 0.0
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_features, train: bool = False):
+        dec = _RedNeck(dec_dim=self.dec_dim, bn_momentum=self.bn_momentum,
+                       bn_eps=self.bn_eps, dtype=self.dtype,
+                       name="neck")(enc_features, train=train)
+
+        head_kwargs = dict(
+            num_heads=self.num_heads, num_repeats=self.num_repeats,
+            num_emb=self.num_emb, reduction_ratio=self.reduction_ratio,
+            attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            dtype=self.dtype, name="reducer")
+        if self.cls_head:
+            return OrderedReductionClsHead(temperature=self.temperature,
+                                           **head_kwargs)(dec, train=train)
+        return OrderedReductionRegHead(**head_kwargs)(dec, train=train)
+
+
 class ODA2OrderedRegModel(nn.Module):
     """Model wrapper for reg ('oda2_red_order_reg') and cls
     ('oda2_red_order_cls') variants (reference ``oda2_red_order_reg.py`` /
@@ -297,20 +337,13 @@ class ODA2OrderedRegModel(nn.Module):
             enc = SwinTransformer(**kwargs)
         features = enc(x, train=train)
 
-        dec = _RedNeck(dec_dim=self.dec_dim, bn_momentum=self.bn_momentum,
-                       bn_eps=self.bn_eps, dtype=self.dtype,
-                       name="neck")(features, train=train)
-
-        head_kwargs = dict(
-            num_heads=self.num_heads, num_repeats=self.num_repeats,
-            num_emb=self.num_emb, reduction_ratio=self.reduction_ratio,
+        outs, attns = OrderedReductionDecoder(
+            dec_dim=self.dec_dim, num_heads=self.num_heads,
+            num_repeats=self.num_repeats, num_emb=self.num_emb,
+            reduction_ratio=self.reduction_ratio, cls_head=self.cls_head,
             attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
             bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
-            dtype=self.dtype, name="reducer")
-        if self.cls_head:
-            outs, attns = OrderedReductionClsHead(**head_kwargs)(dec, train=train)
-        else:
-            outs, attns = OrderedReductionRegHead(**head_kwargs)(dec, train=train)
+            dtype=self.dtype, name="decoder")(features, train=train)
 
         outs = tuple(jnp.asarray(o, jnp.float32) * self.max_depth for o in outs)
         return outs[-1], outs, attns

@@ -77,6 +77,47 @@ class Gen1OrderedSwinBlock(nn.Module):
         return x, (attn1, attn2)
 
 
+class _Gen1Neck(nn.Module):
+    """Gen-1 neck (``oda2_red_order_swin_decoder.py:238-275``): per scale
+    THREE ConvBN (in->in, in->d/4, d/4->d/4) + upsample; concat (channels =
+    dec_dim); bias-free Linear + LN."""
+
+    dec_dim: int
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_features, train: bool = False):
+        from ...ops.resize import upsample2d
+        e4, e8, e16, e32 = enc_features
+        d = self.dec_dim
+        ck = dict(bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+                  dtype=self.dtype)
+
+        def chain(x, scale, name):
+            x = ConvBN(x.shape[-1], 3, name=f"{name}_0", **ck)(x, train)
+            x = ConvBN(d // 4, 3, name=f"{name}_1", **ck)(x, train)
+            x = ConvBN(d // 4, 3, name=f"{name}_2", **ck)(x, train)
+            if scale > 1:
+                x = upsample2d(x, scale)
+            return x
+
+        e32 = chain(e32, 8, "enc_conv32")
+        e16 = chain(e16, 4, "enc_conv16")
+        e8 = chain(e8, 2, "enc_conv8")
+        e4 = chain(e4, 1, "enc_conv4")
+
+        dec = jnp.concatenate([e4, e8, e16, e32], axis=-1)
+        dec = nn.Dense(d, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32,
+                       kernel_init=trunc_normal_init(0.02),
+                       name="dec_linear")(dec)
+        dec = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                            name="dec_norm")(dec)
+        return dec
+
+
 class Gen1OrderedSwinHead(nn.Module):
     num_heads: int
     num_repeats: int
@@ -104,10 +145,16 @@ class Gen1OrderedSwinHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
+        import math
         d = x.shape[-1]
-        emb_init = sinusoidal_depth_embedding(self.num_emb, d, base=2000.0)
+        # gen-1 stores the LEARNABLE table UNSCALED and applies
+        # de_scale=sqrt(1/d) at lookup (oda2_red_order_swin_decoder.py:175-185,
+        # 208-210) — unlike red_order_reg's fixed pre-scaled buffer
+        emb_init = (sinusoidal_depth_embedding(self.num_emb, d, base=2000.0)
+                    * math.sqrt(float(d)))
         table = self.param("depth_embedding", lambda key, shape: emb_init,
                            (self.num_emb, d))
+        de_scale = math.sqrt(1.0 / d)
 
         outs = []
         attns = ()
@@ -115,7 +162,7 @@ class Gen1OrderedSwinHead(nn.Module):
             logit = self._conv_head(d, i, x, train)
             outs.append(jax.nn.sigmoid(logit))
             idx = self._logit_to_indices(logit)
-            de = jnp.take(table, idx, axis=0).astype(self.dtype)
+            de = (jnp.take(table, idx, axis=0) * de_scale).astype(self.dtype)
             x, aws = Gen1OrderedSwinBlock(
                 num_heads=self.num_heads, window_size=self.window_size,
                 attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
@@ -125,6 +172,35 @@ class Gen1OrderedSwinHead(nn.Module):
         logit = self._conv_head(d, self.num_repeats, x, train)
         outs.append(jax.nn.sigmoid(logit))
         return tuple(outs), attns
+
+
+class Gen1OrderedSwinDecoder(nn.Module):
+    """Reference ``OrderedSwinRegDecoder``
+    (``oda2_red_order_swin_decoder.py:222-300``): gen-1 neck + ordered swin
+    head. Returns the raw per-repeat sigmoid maps."""
+
+    dec_dim: int
+    num_heads: int
+    num_repeats: int
+    num_emb: int = 128
+    window_size: int = 8
+    attn_drop_prob: float = 0.0
+    drop_prob: float = 0.0
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_features, train: bool = False):
+        dec = _Gen1Neck(dec_dim=self.dec_dim, bn_momentum=self.bn_momentum,
+                        bn_eps=self.bn_eps, dtype=self.dtype,
+                        name="neck")(enc_features, train=train)
+        return Gen1OrderedSwinHead(
+            num_heads=self.num_heads, num_repeats=self.num_repeats,
+            num_emb=self.num_emb, window_size=self.window_size,
+            attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            dtype=self.dtype, name="reducer")(dec, train=train)
 
 
 class ODA2OrderedSwinModel(nn.Module):
@@ -165,16 +241,13 @@ class ODA2OrderedSwinModel(nn.Module):
             enc = SwinTransformer(**kwargs)
         features = enc(x, train=train)
 
-        dec = _RedNeck(dec_dim=self.dec_dim, bn_momentum=self.bn_momentum,
-                       bn_eps=self.bn_eps, dtype=self.dtype,
-                       name="neck")(features, train=train)
-
-        outs, attns = Gen1OrderedSwinHead(
-            num_heads=self.num_heads, num_repeats=self.num_repeats,
-            num_emb=self.num_emb, window_size=self.window_size,
+        outs, attns = Gen1OrderedSwinDecoder(
+            dec_dim=self.dec_dim, num_heads=self.num_heads,
+            num_repeats=self.num_repeats, num_emb=self.num_emb,
+            window_size=self.window_size,
             attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
             bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
-            dtype=self.dtype, name="reducer")(dec, train=train)
+            dtype=self.dtype, name="decoder")(features, train=train)
 
         outs = tuple(jnp.asarray(o, jnp.float32) * self.max_depth for o in outs)
         return outs[-1], outs, attns

@@ -16,7 +16,7 @@ import flax.linen as nn
 
 from ...ops.conv import ConvBN
 from ...ops.mlp import PreNormFF
-from ...ops.reduction import PreNormOrderedReductionSA
+from ...ops.reduction import PreNormReductionSA
 from ...ops.resize import resize_bilinear
 from .red_order_swin2 import _resize_policy
 from .red_order_reg import _RedNeck
@@ -35,16 +35,50 @@ class IncrementalReductionModule(nn.Module):
         attns = ()
         for name, ratio, shift in (("8_1", 8, 0), ("8_2", 8, 4),
                                    ("4_1", 4, 0), ("4_2", 4, 2)):
-            x, a = PreNormOrderedReductionSA(
+            x, a = PreNormReductionSA(
                 num_heads=self.num_heads, reduction_ratio=ratio,
                 shift_size=shift, attn_drop_prob=self.attn_drop_prob,
                 drop_prob=self.drop_prob, dtype=self.dtype,
-                name=f"sa{name}")(x, None, train=train)
+                name=f"sa{name}")(x, train=train)
             x = PreNormFF(feedforward_dims=self.feedforward_dims,
                           drop_prob=self.drop_prob, dtype=self.dtype,
                           name=f"ff{name}")(x, train=train)
             attns += (a,)
         return x, attns
+
+
+class ReductionTransformerRegDecoder(nn.Module):
+    """Reference ``ReductionTransformerRegDecoder``
+    (``oda2_red_decoder.py:162-230``): red neck -> incremental reduction
+    transformer -> ConvBN + 3x3 VALID conv head (the reference's padding=0
+    quirk shrinks the map by 2 px). Returns raw sigmoid output in [0, 1]."""
+
+    dec_dim: int
+    num_heads: int = 16
+    attn_drop_prob: float = 0.0
+    drop_prob: float = 0.0
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_features, train: bool = False):
+        dec = _RedNeck(dec_dim=self.dec_dim, bn_momentum=self.bn_momentum,
+                       bn_eps=self.bn_eps, dtype=self.dtype,
+                       name="neck")(enc_features, train=train)
+
+        dec, attns = IncrementalReductionModule(
+            num_heads=self.num_heads, attn_drop_prob=self.attn_drop_prob,
+            drop_prob=self.drop_prob, dtype=self.dtype,
+            name="reducer")(dec, train=train)
+
+        out = ConvBN(self.dec_dim // 4, 3, bn_momentum=self.bn_momentum,
+                     bn_eps=self.bn_eps, dtype=self.dtype,
+                     name="out_conv0")(dec, train)
+        out = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
+                      param_dtype=jnp.float32, name="out_conv1")(out)
+        out = nn.sigmoid(jnp.asarray(out, jnp.float32))
+        return out, attns
 
 
 class ODA2RedRegModel(nn.Module):
@@ -82,23 +116,11 @@ class ODA2RedRegModel(nn.Module):
             enc = SwinTransformer(**kwargs)
         feats = enc(x, train=train)
 
-        dec = _RedNeck(dec_dim=self.dec_dim, bn_momentum=self.bn_momentum,
-                       bn_eps=self.bn_eps, dtype=self.dtype,
-                       name="neck")(feats, train=train)
-
-        dec, attns = IncrementalReductionModule(
-            num_heads=self.num_heads, attn_drop_prob=self.attn_drop_prob,
-            drop_prob=self.drop_prob, dtype=self.dtype,
-            name="reducer")(dec, train=train)
-
-        out = ConvBN(self.dec_dim // 4, 3, bn_momentum=self.bn_momentum,
-                     bn_eps=self.bn_eps, dtype=self.dtype,
-                     name="out_conv0")(dec, train)
-        # 3x3 VALID conv head: output shrinks by 2 px (reference quirk,
-        # oda2_red_decoder.py:209-212)
-        out = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
-                      param_dtype=jnp.float32, name="out_conv1")(out)
-        out = nn.sigmoid(jnp.asarray(out, jnp.float32))
+        out, attns = ReductionTransformerRegDecoder(
+            dec_dim=self.dec_dim, num_heads=self.num_heads,
+            attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
+            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            dtype=self.dtype, name="decoder")(feats, train=train)
         out = out * (self.max_depth - self.min_depth) + self.min_depth
         return out, attns
 

@@ -46,6 +46,7 @@ No (.., N, N, heads) tensor touches HBM in either direction.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -54,6 +55,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .window_attention import _pick_tb
+
+# Read once at import: the custom_vjp forward and backward trace
+# independently, so a per-trace env read could silently pair a gather forward
+# with a one-hot backward (benign — both bit-exact — but implicit).
+_ENV_ORDERED_GATHER = os.environ.get("MDE_ORDERED_GATHER", "1") != "0"
+_ENV_ORDERED_PACK = os.environ.get("MDE_ORDERED_PACK", "1") != "0"
 
 
 def toeplitz_bias_matrix(table: jnp.ndarray, num_emb: int) -> jnp.ndarray:
@@ -120,17 +127,26 @@ def split_bias_table(table: jnp.ndarray, num_emb: int) -> jnp.ndarray:
     return jnp.concatenate([table[:e].T, table[e - 1:].T], axis=0)
 
 
-def _gathered_bias(idx_t: jnp.ndarray, tlo_h: jnp.ndarray,
-                   thi_h: jnp.ndarray, e: int) -> jnp.ndarray:
-    """(N,) int32 window indices -> (N, N) f32 bias via two lane gathers.
+def _gather_maps(idx: jnp.ndarray, e: int):
+    """Per-window (rel, lo, hi) index maps for the lane-gather bias path,
+    hoisted out of the per-head loop (they depend only on the indices; built
+    once per grid step instead of nh x TB times)."""
+    return [
+        (rel, jnp.minimum(rel, e - 1), jnp.maximum(rel - (e - 1), 0))
+        for rel in (idx[t][:, None] - idx[t][None, :] + (e - 1)
+                    for t in range(idx.shape[0]))
+    ]
+
+
+def _gathered_bias(maps_t, tlo_h: jnp.ndarray, thi_h: jnp.ndarray,
+                   e: int) -> jnp.ndarray:
+    """(N, N) index maps -> (N, N) f32 bias via two lane gathers.
 
     Requires N == e == 128 (Mosaic's dynamic gather only lowers equal-shape
     2D minor-dim gathers within one 128-lane tile).
     """
-    n = idx_t.shape[0]
-    rel = idx_t[:, None] - idx_t[None, :] + (e - 1)       # (N, N) in [0, 2E-2]
-    lo = jnp.minimum(rel, e - 1)
-    hi = jnp.maximum(rel - (e - 1), 0)
+    rel, lo, hi = maps_t
+    n = rel.shape[0]
     blo = jnp.take_along_axis(
         jnp.broadcast_to(tlo_h[None, :], (n, e)), lo, axis=-1)
     bhi = jnp.take_along_axis(
@@ -167,11 +183,14 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    gmaps = None
     if m_ref is not None:
         idx = i_ref[:, 0, :]                             # (TB, N) int32; the
         # (TB, 1, N) block layout keeps N on the lane dim so TB is not
         # pinned to sublane multiples (a (TB, N) int32 block needs TB % 8)
         oh_q = oh_kt = g = None
+        if use_gather:
+            gmaps = _gather_maps(idx, e)
         if not use_gather:
             iota_qe = jax.lax.broadcasted_iota(jnp.int32, (tb, n, e), 2)
             oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)  # (TB,N,E)
@@ -204,7 +223,7 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
         if m_ref is not None and use_gather:
             tlo_h = m_ref[h]                             # (E,) f32
             thi_h = m_ref[nh + h]
-            bias = jnp.stack([_gathered_bias(idx[t], tlo_h, thi_h, e)
+            bias = jnp.stack([_gathered_bias(gmaps[t], tlo_h, thi_h, e)
                               for t in range(tb)])       # (TB, N, N)
             s = s + bias
         elif oh_q is not None:
@@ -229,9 +248,7 @@ def _kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
 def _use_gather_bias(n: int, num_emb: int) -> bool:
     """Lane-gather bias path: only the equal-shape 128-lane 2D gather lowers
     (probed on-chip; 256-lane, bf16, and mismatched shapes crash Mosaic)."""
-    import os
-    return (n == 128 and num_emb == 128
-            and os.environ.get("MDE_ORDERED_GATHER", "1") != "0")
+    return n == 128 and num_emb == 128 and _ENV_ORDERED_GATHER
 
 
 def _pallas_ordered_attention(q, k, v, idx, table, num_heads, scale, num_emb,
@@ -297,6 +314,7 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
     hd = c // nh
     e = num_emb
 
+    gmaps = None
     if m_ref is not None:
         idx = i_ref[:, 0, :]                             # (TB, N) int32; the
         # (TB, 1, N) block layout keeps N on the lane dim so TB is not
@@ -305,6 +323,8 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
         oh_q = (idx[:, :, None] == iota_qe).astype(jnp.float32)   # (TB, N, E)
         iota_ek = jax.lax.broadcasted_iota(jnp.int32, (tb, e, n), 1)
         oh_kt = (iota_ek == idx[:, None, :]).astype(jnp.float32)  # (TB, E, N)
+        if use_gather:
+            gmaps = _gather_maps(idx, e)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -330,7 +350,7 @@ def _bwd_kernel(num_heads: int, scale: float, num_emb: int, has_bias: bool,
             s = s + kill[None]
         if oh_q is not None:
             if use_gather:
-                bias = jnp.stack([_gathered_bias(idx[t], m_ref[h],
+                bias = jnp.stack([_gathered_bias(gmaps[t], m_ref[h],
                                                  m_ref[nh + h], e)
                                   for t in range(tb)])   # (TB, N, N) f32
             else:
@@ -515,9 +535,7 @@ def fused_ordered_window_attention(q: jnp.ndarray, k: jnp.ndarray,
                                      num_emb)
     interpret = impl == "pallas_interpret"
     bw, n, c = q.shape
-    import os
-    pack_ok = (2 * n <= 128 and bw % 2 == 0
-               and os.environ.get("MDE_ORDERED_PACK", "1") != "0")
+    pack_ok = 2 * n <= 128 and bw % 2 == 0 and _ENV_ORDERED_PACK
     if pack_ok:
         q2 = q.reshape(bw // 2, 2 * n, c)
         k2 = k.reshape(bw // 2, 2 * n, c)

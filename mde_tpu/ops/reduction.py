@@ -102,10 +102,14 @@ class PreNormOrderedReductionSA(nn.Module):
 
 class PreNormReductionSA(nn.Module):
     """Plain (non-ordered) pre-norm reduction SA used by ``oda2_red_reg``
-    (``oda2_red_decoder.py:41-120``) — same math without the de interface."""
+    (``oda2_red_decoder.py:41-120``). Differs from the ordered variant: the
+    whole map is rolled BEFORE the norm (queries see the rolled map and the
+    output is rolled back), and K/V come straight from the block means of the
+    NORMED map — no mean_proj/mean_norm."""
 
     num_heads: int
     reduction_ratio: int = 2
+    shift_size: int = 0
     attn_drop_prob: float = 0.0
     drop_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
@@ -113,9 +117,40 @@ class PreNormReductionSA(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
-        sa = PreNormOrderedReductionSA(
-            num_heads=self.num_heads, reduction_ratio=self.reduction_ratio,
-            shift_size=0, attn_drop_prob=self.attn_drop_prob,
-            drop_prob=self.drop_prob, dtype=self.dtype,
-            return_weights=self.return_weights, name="sa")
-        return sa(x, None, train=train)
+        b, h, w, d = x.shape
+        nh = self.num_heads
+        hd = d // nh
+        scale = hd ** -0.5
+        r = self.reduction_ratio
+        assert r % 2 == 0 and h % r == 0 and w % r == 0
+
+        identity = x
+
+        def dense(name):
+            return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
+                            kernel_init=trunc_normal_init(0.02), name=name)
+
+        if self.shift_size > 0:
+            x = cyclic_shift(x, self.shift_size)
+        x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                          name="norm")(x)
+        q = dense("q_proj")(x).reshape(b, h * w, nh, hd)
+
+        x_red = block_mean(x, r)
+        n_red = x_red.shape[1] * x_red.shape[2]
+        k = dense("k_proj")(x_red).reshape(b, n_red, nh, hd)
+        v = dense("v_proj")(x_red).reshape(b, n_red, nh, hd)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = nn.softmax(jnp.asarray(attn, jnp.float32), axis=-1)
+        weights = attn
+        attn = nn.Dropout(self.attn_drop_prob, deterministic=not train)(
+            attn.astype(self.dtype))
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, d)
+        out = dense("o_proj")(out)
+        out = nn.Dropout(self.drop_prob, deterministic=not train)(out)
+        if self.shift_size > 0:
+            out = cyclic_shift(out, -self.shift_size)
+        out = out + identity
+        return out, (weights if self.return_weights else None)

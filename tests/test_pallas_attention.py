@@ -330,3 +330,91 @@ def test_crf_window_attention_impl_parity():
     out = mod2.apply(params, x, v, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Lane-gather bias path (n == e == 128, the flagship production shape).
+# The default parity/grad tests above never reach it (their shapes keep
+# _use_gather_bias False), so the gather numerics get their own coverage,
+# cross-checked against BOTH the XLA reference and the one-hot kernel path.
+# ---------------------------------------------------------------------------
+
+
+def _gather_shape_case(n, bw, pack_env):
+    import mde_tpu.ops.pallas.ordered_attention as oa
+    nh, c, e = 4, 64, 128
+    q, k, v = _qkv(jax.random.PRNGKey(40), bw, n, c)
+    idx = jax.random.randint(jax.random.PRNGKey(41), (bw, n), 0, e)
+    table = jax.random.normal(jax.random.PRNGKey(42), (2 * e - 1, nh),
+                              jnp.float32)
+    return oa, nh, c, e, q, k, v, idx, table
+
+
+@pytest.mark.parametrize("n,bw,packed", [(128, 4, False), (64, 8, True)])
+def test_ordered_attention_gather_path_parity(monkeypatch, n, bw, packed):
+    """Gather-path forward (interpret mode) vs XLA gather AND the one-hot
+    kernel path: n=128 unpacked, and n=64 packed into 128-token instances."""
+    oa, nh, c, e, q, k, v, idx, table = _gather_shape_case(n, bw, packed)
+
+    ref = oa.xla_ordered_attention(q, k, v, idx, table, nh, 0.125, e)
+
+    monkeypatch.setattr(oa, "_ENV_ORDERED_PACK", packed)
+    monkeypatch.setattr(oa, "_ENV_ORDERED_GATHER", True)
+    assert oa._use_gather_bias(128, e)  # the path under test is active
+    out_gather = oa.fused_ordered_window_attention(
+        q, k, v, idx, table, nh, 0.125, e, impl="pallas_interpret")
+
+    monkeypatch.setattr(oa, "_ENV_ORDERED_GATHER", False)
+    out_onehot = oa.fused_ordered_window_attention(
+        q, k, v, idx, table, nh, 0.125, e, impl="pallas_interpret")
+
+    np.testing.assert_allclose(np.asarray(out_gather), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # gather and one-hot select the same f32 table entries bit-exactly
+    np.testing.assert_allclose(np.asarray(out_gather),
+                               np.asarray(out_onehot), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,bw,packed", [(128, 4, False), (64, 8, True)])
+def test_ordered_attention_gather_path_grad(monkeypatch, n, bw, packed):
+    """Gather-path backward (incl. the packed backward staying packed) vs the
+    XLA reference gradient."""
+    oa, nh, c, e, q, k, v, idx, table = _gather_shape_case(n, bw, packed)
+
+    def loss_ref(q, k, v, t):
+        return jnp.sum(
+            oa.xla_ordered_attention(q, k, v, idx, t, nh, 0.125, e) ** 2)
+
+    monkeypatch.setattr(oa, "_ENV_ORDERED_PACK", packed)
+    monkeypatch.setattr(oa, "_ENV_ORDERED_GATHER", True)
+
+    def loss_gather(q, k, v, t):
+        o = oa.fused_ordered_window_attention(q, k, v, idx, t, nh, 0.125, e,
+                                              impl="pallas_interpret")
+        return jnp.sum(o ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g_gather = jax.grad(loss_gather, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b in zip(g_gather, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_split_bias_table():
+    """split_bias_table halves cover rel in [0, E-1] / [E-1, 2E-2] and agree
+    with the raw table (analog of test_toeplitz_bias_matches_gather)."""
+    from mde_tpu.ops.pallas.ordered_attention import split_bias_table
+    e, nh = 16, 3
+    table = jax.random.normal(jax.random.PRNGKey(43), (2 * e - 1, nh),
+                              jnp.float32)
+    m = split_bias_table(table, e)
+    assert m.shape == (2 * nh, e)
+    for h in range(nh):
+        for rel in range(2 * e - 1):
+            if rel < e:
+                assert m[h, rel] == table[rel, h]
+            if rel >= e - 1:
+                assert m[nh + h, rel - (e - 1)] == table[rel, h]
+    # the halves agree at the stitch entry rel == e-1
+    np.testing.assert_array_equal(np.asarray(m[:nh, e - 1]),
+                                  np.asarray(m[nh:, 0]))
