@@ -122,3 +122,50 @@ def compute_errors_jax(gt: jnp.ndarray, pred: jnp.ndarray,
     return dict(a1=a1, a2=a2, a3=a3, abs_rel=abs_rel, sq_rel=sq_rel,
                 rmse=rmse, rmse_log=rmse_log, silog=silog, log_10=log_10,
                 count=count)
+
+
+def compute_errors_jax_per_image(gt: jnp.ndarray, pred: jnp.ndarray,
+                                 mask: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-IMAGE masked metrics for batched eval: each entry is a (B,) array.
+
+    The reference protocol computes ``tcompute_errors`` per image and averages
+    across images (``RunningAverageDict``, SURVEY.md §3.2) — pooling pixels
+    across a batch would weight images by their valid-pixel counts instead.
+    ``count`` is the per-image valid-pixel count; images with count == 0 must
+    be excluded by the caller (their metric entries are well-defined zeros/
+    ones from the count floor, not real measurements).
+    """
+    b = gt.shape[0]
+    mask = mask.astype(jnp.float32).reshape(b, -1)
+    gt = gt.reshape(b, -1)
+    pred = pred.reshape(b, -1)
+    count = mask.sum(axis=1)
+    denom = jnp.maximum(count, 1.0)
+
+    gt_safe = jnp.where(mask > 0, gt, 1.0)
+    pred_safe = jnp.where(mask > 0, pred, 1.0)
+
+    def mmean(x):
+        return (x * mask).sum(axis=1) / denom
+
+    thresh = jnp.maximum(gt_safe / pred_safe, pred_safe / gt_safe)
+    a1 = mmean((thresh < 1.25).astype(jnp.float32))
+    a2 = mmean((thresh < 1.25 ** 2).astype(jnp.float32))
+    a3 = mmean((thresh < 1.25 ** 3).astype(jnp.float32))
+
+    diff = gt_safe - pred_safe
+    abs_rel = mmean(jnp.abs(diff) / gt_safe)
+    sq_rel = mmean(diff ** 2 / gt_safe)
+    rmse = jnp.sqrt(mmean(diff ** 2))
+
+    log_gt = jnp.log(gt_safe)
+    log_pred = jnp.log(pred_safe)
+    rmse_log = jnp.sqrt(mmean((log_gt - log_pred) ** 2))
+
+    err = log_pred - log_gt
+    silog = jnp.sqrt(jnp.maximum(mmean(err ** 2) - mmean(err) ** 2, 0.0)) * 100
+    log_10 = mmean(jnp.abs(jnp.log10(gt_safe) - jnp.log10(pred_safe)))
+
+    return dict(a1=a1, a2=a2, a3=a3, abs_rel=abs_rel, sq_rel=sq_rel,
+                rmse=rmse, rmse_log=rmse_log, silog=silog, log_10=log_10,
+                count=count)

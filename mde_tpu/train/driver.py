@@ -59,9 +59,15 @@ def build_all(opt: Config, dtype=jnp.float32, model_overrides=None):
     train_loader = DataLoader(train_ds, batch_size, shuffle=True,
                               num_workers=int(dl_opt.get("num_workers", 4)),
                               device_augment=True)
-    test_loader = DataLoader(test_ds, batch_size=1, shuffle=False,
-                             num_workers=2, drop_last=False,
-                             device_augment=False)
+    # post-KB-crop KITTI test images are all 352x1216 and NYU all 480x640, so
+    # eval batches freely (the per-image metric protocol is preserved by
+    # compute_errors_jax_per_image); eval.batch_size overrides, a trailing
+    # partial batch costs one extra jit specialization
+    eval_bs = int(opt.get("eval", {}).get("batch_size", batch_size))
+    test_loader = DataLoader(test_ds, batch_size=max(eval_bs, 1),
+                             shuffle=False,
+                             num_workers=int(dl_opt.get("num_workers", 4)),
+                             drop_last=False, device_augment=False)
 
     model = build_model(opt, min_depth, max_depth, dtype=dtype,
                         **(model_overrides or {}))
@@ -172,15 +178,28 @@ class Trainer:
         return self.state
 
     def validate(self) -> dict:
+        """Batched eval: the step returns per-image metric arrays; running
+        sums stay on device (tiny adds, async) and the host syncs ONCE at the
+        end — the per-image-then-mean averaging matches the reference's
+        ``RunningAverageDict`` protocol exactly."""
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        averages = RunningAverageDict()
+        sums = None
+        n_imgs = None
         for batch in self.test_loader.epoch(0):
             m = self.eval_step(variables, batch)
-            count = float(m.pop("count"))
-            if count > 0:
-                averages.update({k: float(v) for k, v in m.items()})
-        return averages.get_value()
+            valid = (m.pop("count") > 0).astype(jnp.float32)  # (B,)
+            contrib = {k: (v * valid).sum() for k, v in m.items()}
+            if sums is None:
+                sums = contrib
+                n_imgs = valid.sum()
+            else:
+                sums = {k: sums[k] + contrib[k] for k in sums}
+                n_imgs = n_imgs + valid.sum()
+        if sums is None:
+            return {}
+        n = max(float(n_imgs), 1.0)  # single host sync for the whole pass
+        return {k: float(v) / n for k, v in sums.items()}
 
     def predict(self, out_dir: str, mode: Optional[str] = None,
                 visualize: bool = False) -> int:

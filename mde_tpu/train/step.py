@@ -208,6 +208,10 @@ def make_eval_step(model, opt, min_depth_eval: float, max_depth_eval: float,
         crop = jnp.asarray(
             M.eval_mask(opt_eval, (int(gt_hw[0]), int(gt_hw[1])), data_type))
         mask = valid & crop[None, :, :, None]
-        return M.compute_errors_jax(depths, pred, mask)
+        # per-IMAGE metrics: KB-crop/NYU eval shapes are uniform, so batches
+        # can be > 1, and the reference protocol averages metrics over IMAGES
+        # (SURVEY.md §3.2) — a per-batch pixel pool would weight images by
+        # their valid-pixel counts
+        return M.compute_errors_jax_per_image(depths, pred, mask)
 
     return eval_step

@@ -123,9 +123,28 @@ def test_eval_step(tiny_setup):
     ev = make_eval_step(model, opt, 0.001, 80.0, data_type="KITTI")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     m = ev(variables, batch)
+    b = batch["image"].shape[0]
     for k in ("a1", "abs_rel", "rmse", "silog"):
-        assert np.isfinite(float(m[k])), k
-    assert 0.0 <= float(m["a1"]) <= 1.0
+        assert m[k].shape == (b,), k  # per-image metrics (batched eval)
+        assert np.isfinite(np.asarray(m[k])).all(), k
+    assert ((0.0 <= np.asarray(m["a1"])) & (np.asarray(m["a1"]) <= 1.0)).all()
+
+
+def test_eval_step_batched_matches_per_image(tiny_setup):
+    """Batch-of-4 eval == four single-image evals (the reference's
+    per-image-then-average protocol survives batching)."""
+    opt, model, batch, tx, state = tiny_setup
+    ev = make_eval_step(model, opt, 0.001, 80.0, data_type="KITTI")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    sub = {k: v[:4] for k, v in batch.items()}
+    m_batched = ev(variables, sub)
+    for i in range(4):
+        one = {k: v[i:i + 1] for k, v in sub.items()}
+        m_one = ev(variables, one)
+        for k in m_batched:
+            np.testing.assert_allclose(float(m_batched[k][i]),
+                                       float(m_one[k][0]), rtol=1e-5,
+                                       atol=1e-6)
 
 
 def test_lr_schedule_onecycle_shape():
