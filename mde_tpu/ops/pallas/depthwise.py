@@ -16,8 +16,13 @@ variant measured 10.6 ms vs 8.8 ms native at bench shapes, still 10x off the
 HBM bound, so there is headroom for a future revision (candidates: fuse the
 GLU gate and BN/GELU epilogue, avoid the XLA-side pad materialization).
 
-Gradients: kernel path uses ``custom_vjp`` whose backward recomputes via the
-XLA shift-FMA path (same math, exact); the native path has a native VJP.
+Gradients: the production path (``native_vjp_depthwise_conv2d``) pairs the
+native grouped-conv forward with a hand-written backward — dx as the
+flipped-tap grouped conv (MXU) + pad-transpose fold, dw as a one-pass Pallas
+tap-reduce kernel (``_dw_kernel``) — because XLA's own VJP of the grouped
+conv measured ~29 ms at flagship FF shapes (vs ~8.5 ms fwd).
+``MDE_DWCONV_BWD=xla`` restores XLA's VJP. The halo-kernel path keeps a
+``custom_vjp`` whose backward recomputes via shift-FMA (same math, exact).
 """
 
 from __future__ import annotations
@@ -95,7 +100,122 @@ def _kernel(kh: int, kw: int, th: int, w_out: int, cur_ref, nxt_ref, w_ref,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _pallas_depthwise(x, w, interpret: bool) -> jnp.ndarray:
+def _roll_kernel(kh: int, kw: int, th: int, w_out: int, cur_ref, nxt_ref,
+                 w_ref, o_ref):
+    """W-tap combine via ``pltpu.roll`` (sublane dynamic-rotate) + aligned
+    prefix slice, instead of the generic shifted-slice relayout in
+    ``_kernel``. Rolls x once per column offset j; the kh row taps then read
+    the outer (untiled) dim for free."""
+    halo = kh - 1
+    x = jnp.concatenate([cur_ref[0], nxt_ref[0]], axis=0) \
+        if halo else cur_ref[0]                    # (TH + kh - 1, W + kw - 1, TC)
+    # Mosaic's dynamic_rotate only handles 32-bit data
+    if jnp.dtype(x.dtype).itemsize != 4:
+        x = x.astype(jnp.float32)
+    dt = x.dtype
+    w_all = w_ref[...].astype(dt)
+    acc = jnp.zeros((th, w_out) + x.shape[2:], dt)
+    for j in range(kw):
+        xr = pltpu.roll(x, x.shape[1] - j, axis=1) if j else x
+        for i in range(kh):
+            acc = acc + xr[i:i + th, :w_out, :] * w_all[i, j]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _dw_kernel(kh: int, kw: int, th: int, w_out: int, cur_ref, nxt_ref,
+               g_ref, o_ref):
+    """Weight gradient: dw[i,j,c] = sum_{b,p,q} xp[b,p+i,q+j,c] * g[b,p,q,c].
+
+    One pass over xp and g per (channel-tile, batch, H-tile) grid step; the
+    (kh, kw, TC) f32 output block is revisited across batch/H steps (grid is
+    ordered channel-outermost so the accumulator stays resident in VMEM).
+    W-offsets use ``pltpu.roll`` + an aligned prefix slice (no per-tap
+    sublane relayout), H-offsets read the outer dim for free.
+    """
+    halo = kh - 1
+    x = jnp.concatenate([cur_ref[0], nxt_ref[0]], axis=0) \
+        if halo else cur_ref[0]                    # (TH + kh - 1, W + kw - 1, TC)
+    # Mosaic's dynamic_rotate only handles 32-bit data — cast before rolling
+    # (the tap products accumulate in f32 regardless)
+    x = x.astype(jnp.float32)
+    g32 = g_ref[0].astype(jnp.float32)             # (TH, W, TC)
+    taps = []
+    for j in range(kw):
+        xr = pltpu.roll(x, x.shape[1] - j, axis=1) if j else x
+        for i in range(kh):
+            t = xr[i:i + th, :w_out, :] * g32
+            taps.append(jnp.sum(t, axis=(0, 1)))   # (TC,)
+    part = jnp.stack(taps).reshape(kw, kh, -1).swapaxes(0, 1)  # (kh, kw, TC)
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        o_ref[...] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_ref[...] = o_ref[...] + part
+
+
+def _dw_pallas(x, g, kh: int, kw: int, interpret: bool) -> jnp.ndarray:
+    """dL/dw for the replicate-padded depthwise conv. x: (B,H,W,C) unpadded
+    input, g: (B,H,W,C) output cotangent; returns (kh, kw, C) f32."""
+    from ..pad import pad2d
+    b, h, wd, c = x.shape
+    # plan with f32 itemsize: the kernel casts the x tile to f32 (Mosaic's
+    # dynamic_rotate needs 32-bit data) so the working set is f32-sized
+    th, tc = _plan(h, wd, c, kh, kw, 4)
+    nh = -(-h // th)
+
+    xp = pad2d(x, kh // 2, kh // 2, kw // 2, kw // 2, mode="edge")
+    h_pad = (nh + 1) * th
+    xp = jnp.pad(xp, ((0, 0), (0, h_pad - xp.shape[1]), (0, 0), (0, 0)))
+    # zero-pad g to the tile multiple: padded rows contribute nothing
+    gp = jnp.pad(g, ((0, 0), (0, nh * th - h), (0, 0), (0, 0)))
+    wp = wd + kw - 1
+
+    halo = kh - 1
+    hb = max(halo, 1)
+    pairs = th // hb
+    grid = (c // tc, b, nh)
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, kh, kw, th, wd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, wp, tc), lambda ci, bi, hi: (bi, hi, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, wp, tc),
+                         lambda ci, bi, hi: (bi, (hi + 1) * pairs, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wd, tc), lambda ci, bi, hi: (bi, hi, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kh, kw, tc), lambda ci, bi, hi: (0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kh, kw, c), jnp.float32),
+        interpret=interpret,
+    )(xp, xp, gp)
+
+
+def _dx_native(g, w, x_shape, x_dtype):
+    """dL/dx: full correlation of g with the flipped taps (again a grouped
+    conv — MXU path), then the transpose of the replicate pad (edge rows fold
+    back into the border)."""
+    kh, kw, c = w.shape
+    gp = jnp.pad(g, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1), (0, 0)))
+    wf = w[::-1, ::-1]
+    dxp = jax.lax.conv_general_dilated(
+        gp, wf[:, :, None, :].astype(g.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)                    # (B, H+kh-1, W+kw-1, C)
+    from ..pad import pad2d
+    fold = jax.linear_transpose(
+        lambda t: pad2d(t, kh // 2, kh // 2, kw // 2, kw // 2, mode="edge"),
+        jax.ShapeDtypeStruct(x_shape, dxp.dtype))
+    return fold(dxp)[0].astype(x_dtype)
+
+
+def _pallas_depthwise(x, w, interpret: bool, kernel_body=_kernel) -> jnp.ndarray:
     from ..pad import pad2d
     b, h, wd, c = x.shape
     kh, kw, _ = w.shape
@@ -117,7 +237,7 @@ def _pallas_depthwise(x, w, interpret: bool) -> jnp.ndarray:
     #                   hb-row units so the (hi+1)*th element offset is exact
     grid = (b, nh, c // tc)
     return pl.pallas_call(
-        functools.partial(_kernel, kh, kw, th, wd),
+        functools.partial(kernel_body, kh, kw, th, wd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, wp, tc), lambda bi, hi, ci: (bi, hi, 0, ci),
@@ -154,6 +274,43 @@ def _fused_bwd(interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def roll_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Halo kernel with the ``pltpu.roll`` W-tap combine (no custom_vjp —
+    benchmark/experimental entry; see ``_roll_kernel``)."""
+    return _pallas_depthwise(x, w, interpret, kernel_body=_roll_kernel)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _native(x, w, interpret):
+    return native_depthwise_conv2d(x, w)
+
+
+def _native_fwd(x, w, interpret):
+    return native_depthwise_conv2d(x, w), (x, w)
+
+
+def _native_bwd(interpret, res, g):
+    x, w = res
+    kh, kw, _ = w.shape
+    dx = _dx_native(g, w, x.shape, x.dtype)
+    dw = _dw_pallas(x, g, kh, kw, interpret).astype(w.dtype)
+    return dx, dw
+
+
+_native.defvjp(_native_fwd, _native_bwd)
+
+
+def native_vjp_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Native grouped-conv forward with a hand-written backward: dx as the
+    flipped-tap grouped conv (MXU) + pad-transpose fold, dw as the one-pass
+    Pallas tap-reduce kernel (``_dw_kernel``). XLA's own VJP of the grouped
+    conv measured ~29 ms at the flagship FF shape; this pair is the
+    decomposition it should have emitted."""
+    return _native(x, w, interpret)
+
+
 def native_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
                             padding_mode: str = "edge") -> jnp.ndarray:
     """XLA ``feature_group_count=C`` grouped conv after an explicit
@@ -165,7 +322,7 @@ def native_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
     kh, kw, c = w.shape
     xp = pad2d(x, kh // 2, kh // 2, kw // 2, kw // 2, mode=padding_mode)
     return jax.lax.conv_general_dilated(
-        xp, w[:, :, None, :], (1, 1), "VALID",
+        xp, w[:, :, None, :].astype(x.dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c)
 
@@ -182,5 +339,8 @@ def fused_depthwise_conv2d(x: jnp.ndarray, w: jnp.ndarray,
     if impl == "xla" or padding_mode != "edge":
         return xla_depthwise_conv2d(x, w, padding_mode)
     if impl == "pallas":
-        return native_depthwise_conv2d(x, w, padding_mode)
+        import os
+        if os.environ.get("MDE_DWCONV_BWD", "split") == "xla":
+            return native_depthwise_conv2d(x, w, padding_mode)
+        return native_vjp_depthwise_conv2d(x, w)
     return _fused(x, w, impl == "pallas_interpret")

@@ -9,10 +9,14 @@ a single FF gate intermediate), so saving just those is nearly free in HBM
 and skips the priciest part of the recompute.
 
 Attention outputs are tagged ``checkpoint_name(x, "sa_out")`` at the
-residual add; ``remat_policy()`` returns the jax checkpoint policy that
-saves exactly those. ``MDE_REMAT_POLICY=full`` reverts to whole-block remat
-(the round-1 behavior) for A/B and as an escape hatch if a config's memory
-budget is tighter.
+residual add, and the FF depthwise-conv outputs ``"dw_conv"`` (the conv
+forward is ~8.5 ms per FF at flagship train shapes and its output is needed
+verbatim by GELU's backward — saving it skips the priciest recompute in the
+FF for ~410 MB/instance HBM). ``remat_policy()`` returns the jax checkpoint
+policy that saves exactly those. ``MDE_REMAT_POLICY`` selects ``full``
+(whole-block remat, the round-1 behavior), ``save_sa`` (round-2), or the
+default ``save_sa_conv``, for A/B and as an escape hatch if a config's
+memory budget is tighter.
 """
 
 from __future__ import annotations
@@ -28,10 +32,17 @@ def tag_sa(x, name: str = "sa_out"):
     return checkpoint_name(x, name)
 
 
+def tag_conv(x, name: str = "dw_conv"):
+    """Tag an FF depthwise-conv output as saveable under selective remat."""
+    return checkpoint_name(x, name)
+
+
 def remat_policy():
     """Policy for ``nn.remat(..., policy=...)`` call sites. None = save
     nothing (full recompute)."""
-    mode = os.environ.get("MDE_REMAT_POLICY", "save_sa")
+    mode = os.environ.get("MDE_REMAT_POLICY", "save_sa_conv")
     if mode == "full":
         return None
-    return jax.checkpoint_policies.save_only_these_names("sa_out")
+    if mode == "save_sa":
+        return jax.checkpoint_policies.save_only_these_names("sa_out")
+    return jax.checkpoint_policies.save_only_these_names("sa_out", "dw_conv")

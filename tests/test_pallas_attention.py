@@ -313,6 +313,38 @@ def test_depthwise_kernel_grad():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,k", [
+    ((2, 14, 28, 64), 5),   # H not a tile multiple
+    ((1, 9, 11, 32), 3),
+    ((2, 16, 24, 128), 5),  # full 128-lane channel tile
+    ((1, 8, 16, 256), 5),   # two channel tiles (accumulator revisits)
+])
+def test_depthwise_split_vjp_parity(shape, k):
+    """The production TPU backward (dx flipped grouped conv + dw Pallas
+    tap-reduce, ``native_vjp_depthwise_conv2d``) matches the shift-FMA VJP;
+    dw kernel in interpret mode."""
+    from mde_tpu.ops.pallas.depthwise import (_native, xla_depthwise_conv2d)
+    x = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(5), (k, k, shape[-1]),
+                          jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(6), shape, jnp.float32)
+
+    def loss(f, x_, w_):
+        return jnp.sum(f(x_, w_) * g)
+
+    rdx, rdw = jax.grad(lambda a, b: loss(xla_depthwise_conv2d, a, b),
+                        argnums=(0, 1))(x, w)
+    ndx, ndw = jax.grad(
+        lambda a, b: loss(lambda a_, b_: _native(a_, b_, True), a, b),
+        argnums=(0, 1))(x, w)
+    # dx rtol is loose: XLA:CPU's grouped-conv *forward* itself deviates from
+    # shift-FMA by ~5e-3 rel at these shapes (pre-existing, TPU-only path)
+    np.testing.assert_allclose(np.asarray(ndx), np.asarray(rdx),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ndw), np.asarray(rdw),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_crf_window_attention_impl_parity():
     from mde_tpu.models.newcrfs.layers import CRFWindowAttention
     from mde_tpu.ops.window import shifted_window_attn_mask

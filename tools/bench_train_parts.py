@@ -74,17 +74,18 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
         def loss_fn(params, args, eps):
+            rngs = {"dropout": jax.random.PRNGKey(1)} if train_kw else None
             if "batch_stats" not in variables:
                 a0 = args[0] + eps.astype(args[0].dtype)
                 out = module.apply(
-                    {"params": params}, a0, *args[1:],
+                    {"params": params}, a0, *args[1:], rngs=rngs,
                     **({"train": True} if train_kw else {}))
             else:
                 a0 = args[0] + eps.astype(args[0].dtype)
                 out, _ = module.apply(
                     {"params": params,
                      "batch_stats": variables["batch_stats"]},
-                    a0, *args[1:],
+                    a0, *args[1:], rngs=rngs,
                     **({"train": True} if train_kw else {}),
                     mutable=["batch_stats"])
             leaf = out[0] if isinstance(out, tuple) else out
