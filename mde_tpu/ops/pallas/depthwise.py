@@ -202,10 +202,10 @@ def _dx_native(g, w, x_shape, x_dtype):
     conv — MXU path), then the transpose of the replicate pad (edge rows fold
     back into the border)."""
     kh, kw, c = w.shape
-    gp = jnp.pad(g, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1), (0, 0)))
     wf = w[::-1, ::-1]
     dxp = jax.lax.conv_general_dilated(
-        gp, wf[:, :, None, :].astype(g.dtype), (1, 1), "VALID",
+        g, wf[:, :, None, :].astype(g.dtype), (1, 1),
+        ((kh - 1, kh - 1), (kw - 1, kw - 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c)                    # (B, H+kh-1, W+kw-1, C)
     from ..pad import pad2d
