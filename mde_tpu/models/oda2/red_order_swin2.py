@@ -474,7 +474,12 @@ class ODA2OrderedSwin2RegModel(nn.Module):
             neck_type=opt.get("neck_type", "red"),
             bn_momentum=opt.get("bn_momentum", 0.1),
             bn_eps=opt.get("bn_eps", 1e-5),
-            scan_repeats=opt.get("scan_repeats", True),
+            # config default: UNROLLED repeats — measured 8% faster train
+            # step than the nn.scan layout (635.8 vs 687.6 ms at flagship
+            # batch 4; nn.scan re-loads the stacked params each iteration
+            # and blocks cross-repeat scheduling). scan_repeats=true opts
+            # back into the ~3x-smaller head HLO when compile time matters.
+            scan_repeats=opt.get("scan_repeats", False),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

@@ -145,8 +145,8 @@ class PreNormDWConvFF(nn.Module):
             # GLU over the channel dim: first half * sigmoid(second half)
             a, b = jnp.split(x, 2, axis=-1)
             x = a * nn.sigmoid(b)
-            from .remat import tag_conv
-            x = bn(tag_conv(conv(x)))
+            from .remat import tag_conv, tag_glu
+            x = bn(tag_conv(conv(tag_glu(x))))
             x = self.act(x)
 
         x = _dense(in_dims, self.dtype, "lin3")(x)

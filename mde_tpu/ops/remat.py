@@ -12,11 +12,15 @@ Attention outputs are tagged ``checkpoint_name(x, "sa_out")`` at the
 residual add, and the FF depthwise-conv outputs ``"dw_conv"`` (the conv
 forward is ~8.5 ms per FF at flagship train shapes and its output is needed
 verbatim by GELU's backward — saving it skips the priciest recompute in the
-FF for ~410 MB/instance HBM). ``remat_policy()`` returns the jax checkpoint
-policy that saves exactly those. ``MDE_REMAT_POLICY`` selects ``full``
-(whole-block remat, the round-1 behavior), ``save_sa`` (round-2), or the
-default ``save_sa_conv``, for A/B and as an escape hatch if a config's
-memory budget is tighter.
+FF for ~410 MB/instance HBM). The GLU gate output (``"glu_out"``, the conv
+*input*) is tagged too but NOT saved by default: ``save_sa_conv_glu`` was
+measured 5% SLOWER end-to-end (722 vs 688 ms/step at flagship batch 4 —
+the extra ~2.5 GB of saved activations cost more in scheduling/HBM pressure
+than the LN -> lin1 -> sigmoid-mul recompute they avoid).
+``remat_policy()`` returns the jax checkpoint policy for the selected mode.
+``MDE_REMAT_POLICY`` selects ``full`` (whole-block remat, the round-1
+behavior), ``save_sa`` (round-2), ``save_sa_conv_glu`` (measured regression,
+kept for A/B), or the default ``save_sa_conv``.
 """
 
 from __future__ import annotations
@@ -37,6 +41,11 @@ def tag_conv(x, name: str = "dw_conv"):
     return checkpoint_name(x, name)
 
 
+def tag_glu(x, name: str = "glu_out"):
+    """Tag an FF GLU gate output (the conv input) as saveable."""
+    return checkpoint_name(x, name)
+
+
 def remat_policy():
     """Policy for ``nn.remat(..., policy=...)`` call sites. None = save
     nothing (full recompute)."""
@@ -45,4 +54,8 @@ def remat_policy():
         return None
     if mode == "save_sa":
         return jax.checkpoint_policies.save_only_these_names("sa_out")
-    return jax.checkpoint_policies.save_only_these_names("sa_out", "dw_conv")
+    if mode == "save_sa_conv_glu":
+        return jax.checkpoint_policies.save_only_these_names(
+            "sa_out", "dw_conv", "glu_out")
+    return jax.checkpoint_policies.save_only_these_names(
+        "sa_out", "dw_conv")
