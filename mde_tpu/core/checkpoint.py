@@ -21,6 +21,8 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .layout import SCAN_REPEATS_DEFAULT
+
 try:
     import orbax.checkpoint as ocp
     _HAS_ORBAX = True
@@ -606,7 +608,7 @@ def _ordered_block(acc: KeyAccountant, prefix: str, bias_type: str):
 def _convert_oda2_decoder(acc: KeyAccountant, prefix: str,
                           num_repeats: int, neck_type: str,
                           output_scale: int, bias_type: str,
-                          scan_repeats: bool = True):
+                          scan_repeats: bool = SCAN_REPEATS_DEFAULT):
     """Reference ``OrderedSwin2RegDecoder`` subtree (keys under ``prefix``)
     -> our decoder (params, batch_stats)."""
     dec: Dict[str, Any] = {}
@@ -696,7 +698,7 @@ def convert_oda2_decoder(torch_state: Dict[str, np.ndarray],
                          neck_type: str = "red",
                          output_scale: int = 4,
                          bias_type: str = "depth",
-                         scan_repeats: bool = True) -> Dict[str, Any]:
+                         scan_repeats: bool = SCAN_REPEATS_DEFAULT) -> Dict[str, Any]:
     """Standalone ``OrderedSwin2RegDecoder`` state dict -> our
     ``OrderedSwin2RegDecoder`` variables {'params', 'batch_stats'}."""
     acc = KeyAccountant(torch_state)
@@ -714,7 +716,7 @@ def convert_oda2_red_order_swin2(torch_state: Dict[str, np.ndarray],
                                  output_scale: int = 4,
                                  bias_type: str = "depth",
                                  target_window: Optional[int] = None,
-                                 scan_repeats: bool = True,
+                                 scan_repeats: bool = SCAN_REPEATS_DEFAULT,
                                  ) -> Dict[str, Any]:
     """Full flagship torch state dict (``encoder.*`` + ``decoder.*``, the
     module layout of ``model/ODA2/oda2_red_order_swin2.py:45-60``) -> our
@@ -742,3 +744,89 @@ def convert_oda2_red_order_swin2(torch_state: Dict[str, np.ndarray],
     acc.assert_exhausted()
     return {"params": {"encoder": enc_params, "decoder": dec},
             "batch_stats": {"decoder": dec_s}}
+
+
+# ---------------------------------------------------------------------------
+# scan <-> unrolled head-layout migration
+# ---------------------------------------------------------------------------
+
+def _unstack_tree(tree: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Inverse of ``_stack_trees``: split the leading axis into a list."""
+    n = None
+    for leaf in tree.values():
+        n = len(leaf) if not isinstance(leaf, dict) else _unstack_len(leaf)
+        break
+    out: List[Dict[str, Any]] = [dict() for _ in range(n)]
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            for i, sub in enumerate(_unstack_tree(v)):
+                out[i][k] = sub
+        else:
+            for i in range(n):
+                out[i][k] = np.asarray(v)[i]
+    return out
+
+
+def _unstack_len(tree: Dict[str, Any]) -> int:
+    for v in tree.values():
+        return _unstack_len(v) if isinstance(v, dict) else len(v)
+    raise ValueError("Empty tree.")
+
+
+def _migrate_head(head: Dict[str, Any], to_scan: bool) -> Dict[str, Any]:
+    """Convert ONE collection's head subtree between the two layouts.
+
+    Unrolled: ``conv{i}_0/conv{i}_1/conv{i}_out`` + ``attn{i}`` per repeat i,
+    plus the final ``conv{N}_*`` head. Scan: per-repeat trees stacked under
+    ``repeat/`` with inner names ``conv_0/conv_1/conv_out/attn``
+    (``OrderedRepeatCell``), final head unchanged.
+    """
+    out = dict(head)
+    if to_scan:
+        idx = sorted(int(k[len("attn"):]) for k in head if re.fullmatch(r"attn\d+", k))
+        if not idx:
+            return out  # nothing to do (no repeats, or already scan layout)
+        reps = []
+        for i in idx:
+            rep = {"attn": out.pop(f"attn{i}")}
+            for part in ("0", "1", "out"):
+                key = f"conv{i}_{part}"
+                if key in out:  # batch_stats has no conv_out entry
+                    rep[f"conv_{part}"] = out.pop(key)
+            reps.append(rep)
+        out["repeat"] = _stack_trees(reps)
+    else:
+        if "repeat" not in head:
+            return out
+        reps = _unstack_tree(out.pop("repeat"))
+        for i, rep in enumerate(reps):
+            out[f"attn{i}"] = rep["attn"]
+            for part in ("0", "1", "out"):
+                if f"conv_{part}" in rep:
+                    out[f"conv{i}_{part}"] = rep[f"conv_{part}"]
+    return out
+
+
+def migrate_head_layout(variables: Dict[str, Any], to_scan: bool) -> Dict[str, Any]:
+    """Convert flagship variables between the nn.scan head layout
+    (``scan_repeats=True``: per-repeat params stacked under ``.../repeat/``)
+    and the unrolled layout (``scan_repeats=False``: ``attn{i}``/``conv{i}_*``).
+
+    Walks the whole tree, so it works on full model variables
+    ({'params', 'batch_stats'}), a decoder subtree, or a TrainState params
+    tree; any dict containing ``repeat`` (scan) or ``attn0`` (unrolled) is
+    treated as a head. Idempotent when already in the target layout. Use this
+    to resume a checkpoint saved under the other ``model.scan_repeats``
+    setting (the default flipped to unrolled in round 4 — see
+    ``core/layout.py``).
+    """
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        is_head = ("repeat" in node) if to_scan is False else any(
+            re.fullmatch(r"attn\d+", k) for k in node)
+        if is_head:
+            return _migrate_head(node, to_scan)
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(variables)

@@ -160,6 +160,44 @@ def test_scan_repeats_matches_unrolled():
     assert len(outs_t) == R + 1
 
 
+def test_migrate_head_layout_roundtrip():
+    """core.checkpoint.migrate_head_layout converts checkpoints between the
+    unrolled (attn{i}/conv{i}_*) and nn.scan (repeat/) head layouts in both
+    directions, preserving numerics (the resume path across a
+    ``model.scan_repeats`` flip — ADVICE r3)."""
+    from mde_tpu.core.checkpoint import migrate_head_layout
+    from mde_tpu.models.oda2.red_order_swin2 import OrderedSwinRegHead
+
+    R = 2
+    kwargs = dict(num_heads=2, num_repeats=R, num_emb=16, window_size=4,
+                  output_scale=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 32), jnp.float32)
+
+    mod_u = OrderedSwinRegHead(scan_repeats=False, **kwargs)
+    vs_u = mod_u.init(jax.random.PRNGKey(1), x)
+    outs_u, _ = mod_u.apply(vs_u, x)
+
+    # unrolled -> scan: tree matches a fresh scan init, numerics preserved
+    vs_s = migrate_head_layout(vs_u, to_scan=True)
+    mod_s = OrderedSwinRegHead(scan_repeats=True, **kwargs)
+    want = jax.tree.map(lambda a: a.shape, mod_s.init(jax.random.PRNGKey(2), x))
+    got = jax.tree.map(lambda a: np.asarray(a).shape, vs_s)
+    assert want == got
+    outs_s, _ = mod_s.apply(vs_s, x)
+    for a, b in zip(outs_u, outs_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # idempotent in the target layout
+    again = migrate_head_layout(vs_s, to_scan=True)
+    assert jax.tree.map(lambda a: np.asarray(a).shape, again) == got
+
+    # scan -> unrolled roundtrip restores the exact original tree
+    back = migrate_head_layout(vs_s, to_scan=False)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), back, vs_u)
+
+
 def test_selective_remat_grad_parity():
     """Selective remat (save tagged sa_out, recompute the rest) gives the
     same gradients as no remat (ops/remat.py policy)."""

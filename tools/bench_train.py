@@ -113,9 +113,12 @@ def main():
         assert np.isfinite(loss), loss
         return time.perf_counter() - t0
 
-    timed_train(1)
-    t1 = min(timed_train(n1) for _ in range(2))
-    t2 = min(timed_train(n2) for _ in range(2))
+    timed_train(1)  # untimed warmup: primes the per-dispatch execute path
+    # 3 repetitions per trip count: per-call tunnel overhead (~170 ms) makes
+    # the dispatched path much noisier than the chained number it
+    # contextualizes, so min-of-3 instead of min-of-2 (ADVICE r3)
+    t1 = min(timed_train(n1) for _ in range(3))
+    t2 = min(timed_train(n2) for _ in range(3))
     dispatch_step_s = max(t2 - t1, 1e-9) / (n2 - n1)
 
     # paired inference forward, same process/method as bench.py
