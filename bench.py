@@ -18,6 +18,13 @@ measured utilizations for window attention + BN necks are typically 15-30%).
 If cost analysis is unavailable on the backend, falls back to the previous
 documented 8 img/s estimate. ``mfu`` reports our own model-FLOPs utilization
 against the chip's bf16 peak so the ratio is auditable.
+
+Two integrity additions (round 4): ``tflops_per_img_hand`` is an independent
+hand-derived FLOP count (``mde_tpu/utils/flops.py``) cross-checking
+``cost_analysis`` to within 15%, and ``vs_a100`` / ``vs_a100_x8_linear``
+report the north-star comparison (BASELINE.json: ">=5x A100 img/s/chip") —
+the same 35%-of-peak FLOPs-derived bound computed for A100 bf16 (312 TFLOP/s
+dense peak), per chip and as a linear 8-chip projection.
 """
 
 import json
@@ -27,6 +34,12 @@ import numpy as np
 
 BASELINE_IMG_S_FALLBACK = 8.0   # prior estimate (rounds 1-2)
 GPU_3080TI_EFF_FLOPS = 0.35 * 34e12  # 35% of fp32 peak, documented above
+# North-star comparison (BASELINE.json): A100 bf16 dense peak 312 TFLOP/s at
+# the same generous 35% utilization assumption -> the FLOPs-derived bound an
+# A100 chip could sustain on this exact model. Reported per-chip and as a
+# linear x8 projection (v5e-8 vs one A100) so the ">=5x A100 img/s/chip"
+# target is auditable rather than implied.
+GPU_A100_EFF_FLOPS = 0.35 * 312e12
 
 # bf16 matmul peak per chip, by device_kind substring
 _PEAK_BF16 = {
@@ -123,13 +136,27 @@ def main():
     except Exception:
         pass
 
+    # hand-derived FLOP cross-check (mde_tpu/utils/flops.py): catches
+    # compiler-accounting drift — round 3's headline doubled purely because
+    # cost_analysis counts nn.scan bodies once. The two counts must stay
+    # within ~15%; if cost_analysis is unavailable the hand count substitutes.
+    from mde_tpu.utils.flops import flagship_forward_flops
+    flops_hand = flagship_forward_flops(352, 704, encoder_type=encoder_type)
+    flops_agree = None
+    if flops_per_img:
+        flops_agree = abs(flops_per_img - flops_hand) / flops_hand < 0.15
+    else:
+        flops_per_img = flops_hand
+
     mfu = None
     baseline_img_s = BASELINE_IMG_S_FALLBACK
     baseline_kind = "estimated"
+    a100_img_s = None
     if flops_per_img:
         mfu = img_s * flops_per_img / _peak_flops(jax.devices()[0])
         baseline_img_s = GPU_3080TI_EFF_FLOPS / flops_per_img
         baseline_kind = "flops_derived_3080ti_35pct"
+        a100_img_s = GPU_A100_EFF_FLOPS / flops_per_img
 
     print(json.dumps({
         "metric": "flagship_fwd_images_per_sec",
@@ -138,9 +165,15 @@ def main():
         "vs_baseline": round(img_s / baseline_img_s, 2),
         "baseline_img_s": round(baseline_img_s, 2),
         "baseline_kind": baseline_kind,
+        "vs_a100": (round(img_s / a100_img_s, 3) if a100_img_s else None),
+        "vs_a100_x8_linear": (round(8 * img_s / a100_img_s, 2)
+                              if a100_img_s else None),
+        "a100_img_s_bound": (round(a100_img_s, 2) if a100_img_s else None),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "tflops_per_img": (round(flops_per_img / 1e12, 4)
                            if flops_per_img else None),
+        "tflops_per_img_hand": round(flops_hand / 1e12, 4),
+        "flops_counts_agree_15pct": flops_agree,
         "model": f"oda2_red_order_swin2(swin-{encoder_type[0].upper()}, dec512, rep3, red33)",
         "shape": [batch, 352, 704, 3],
         "dtype": "bfloat16",
