@@ -132,6 +132,11 @@ class NewCRFDepth(nn.Module):
         feats = SwinTransformer(
             window_size=window_size, path_drop_prob=0.3, patch_norm=True,
             frozen_stages=self.frozen_stages, use_checkpoint=self.use_checkpoint,
+            # the NewCRFs Swin variant zero-pads to window/patch multiples
+            # (torch F.pad default, ``model/NewCRFs/swin_transformer.py:209``),
+            # unlike the ODA/ODA2 variants' replicate padding — matters at
+            # non-window-multiple shapes (executed-parity-tested r4)
+            padding_mode="zeros",
             dtype=self.dtype, name="backbone", **backbone_args,
         )(x, train=train)
 

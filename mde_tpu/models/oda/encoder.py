@@ -51,6 +51,11 @@ class ODASwinEncoder(nn.Module):
             window_size=self.window_size, drop_prob=self.drop_prob,
             attn_drop_prob=self.attn_drop_prob,
             path_drop_prob=self.path_drop_prob,
+            # timm min-window rule (``oda_swin_transformer.py:56-60``): when
+            # the window covers the smaller token dim, SW-MSA collapses to
+            # W-MSA — fires at stage 4 of the production config (12x36
+            # tokens, window 12). Executed-parity-tested r4.
+            shift_collapse=True,
             out_norms=False, dtype=self.dtype, name="backbone", **kwargs,
         )(x, train=train)
         return feats

@@ -46,12 +46,13 @@ class PatchEmbed(nn.Module):
     patch_size: int = 4
     embed_dim: int = 96
     out_norm: bool = True
+    padding_mode: str = "edge"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.patch_size
-        x = pad_to_multiple(x, p, mode="edge")
+        x = pad_to_multiple(x, p, mode=self.padding_mode)
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32, name="proj")(x)
         if self.out_norm:
@@ -67,13 +68,15 @@ class PatchMerging(nn.Module):
     (even/odd row-major), which matters for checkpoint interop.
     """
 
+    padding_mode: str = "edge"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         if h % 2 == 1 or w % 2 == 1:
-            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+            from ..ops.pad import pad2d
+            x = pad2d(x, 0, h % 2, 0, w % 2, mode=self.padding_mode)
         x0 = x[:, 0::2, 0::2, :]
         x1 = x[:, 1::2, 0::2, :]
         x2 = x[:, 0::2, 1::2, :]
@@ -97,6 +100,8 @@ class SwinBlock(nn.Module):
     drop_prob: float = 0.0
     attn_drop_prob: float = 0.0
     path_drop_prob: float = 0.0
+    padding_mode: str = "edge"
+    shift_collapse: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -104,16 +109,25 @@ class SwinBlock(nn.Module):
                  path_drop_rate=None) -> jnp.ndarray:
         b, h, w, c = x.shape
         r = self.window_size
+        shift = self.shift_size
+        if self.shift_collapse and min(h, w) <= r:
+            # timm min-window rule (``model/ODA/oda_swin_transformer.py:56-60``):
+            # when the window covers the smaller spatial dim, SW-MSA collapses
+            # to W-MSA and the window shrinks to that dim. In the production
+            # ODA config this fires at stage 4 (12x36 tokens, window 12).
+            # Static under jit — shapes are traced constants.
+            shift = 0
+            r = min(r, min(h, w))
 
         shortcut = x
         x = tnn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
 
-        x = pad_to_multiple(x, r, mode="edge")
+        x = pad_to_multiple(x, r, mode=self.padding_mode)
         hp, wp = x.shape[1], x.shape[2]
 
-        if self.shift_size > 0:
-            x = cyclic_shift(x, self.shift_size)
-            mask = shifted_window_attn_mask(hp, wp, r, self.shift_size)
+        if shift > 0:
+            x = cyclic_shift(x, shift)
+            mask = shifted_window_attn_mask(hp, wp, r, shift)
         else:
             mask = None
 
@@ -125,8 +139,8 @@ class SwinBlock(nn.Module):
         )(xw, mask=mask, train=train)
         x = window_reverse(xw, r, hp, wp)
 
-        if self.shift_size > 0:
-            x = cyclic_unshift(x, self.shift_size)
+        if shift > 0:
+            x = cyclic_unshift(x, shift)
         x = x[:, :h, :w, :]
 
         drop_path = DropPath(self.path_drop_prob, name="drop_path")
@@ -154,6 +168,8 @@ class SwinBlockPair(nn.Module):
     qkv_bias: bool = True
     drop_prob: float = 0.0
     attn_drop_prob: float = 0.0
+    padding_mode: str = "edge"
+    shift_collapse: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -161,7 +177,9 @@ class SwinBlockPair(nn.Module):
         common = dict(num_heads=self.num_heads, window_size=self.window_size,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop_prob=self.drop_prob,
-                      attn_drop_prob=self.attn_drop_prob, dtype=self.dtype)
+                      attn_drop_prob=self.attn_drop_prob,
+                      padding_mode=self.padding_mode,
+                      shift_collapse=self.shift_collapse, dtype=self.dtype)
         x = SwinBlock(shift_size=0, name="blk0", **common)(
             x, train=train, path_drop_rate=pdp_pair[0])
         x = SwinBlock(shift_size=self.window_size // 2, name="blk1", **common)(
@@ -185,6 +203,8 @@ class SwinStage(nn.Module):
     downsample: bool = False
     use_checkpoint: bool = False
     scan_blocks: bool = True
+    padding_mode: str = "edge"
+    shift_collapse: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -215,6 +235,8 @@ class SwinStage(nn.Module):
                 num_heads=self.num_heads, window_size=self.window_size,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop_prob=self.drop_prob, attn_drop_prob=self.attn_drop_prob,
+                padding_mode=self.padding_mode,
+                shift_collapse=self.shift_collapse,
                 dtype=self.dtype, name="blocks",
             )(x, pdp_arr, train)
         else:
@@ -234,12 +256,15 @@ class SwinStage(nn.Module):
                     drop_prob=self.drop_prob,
                     attn_drop_prob=self.attn_drop_prob,
                     path_drop_prob=pdp[i],
+                    padding_mode=self.padding_mode,
+                    shift_collapse=self.shift_collapse,
                     dtype=self.dtype,
                     name=f"blocks{i}",
                 )(x, train)
         x_out = x
         if self.downsample:
-            x = PatchMerging(dtype=self.dtype, name="downsample")(x)
+            x = PatchMerging(padding_mode=self.padding_mode, dtype=self.dtype,
+                             name="downsample")(x)
         return x_out, x
 
 
@@ -263,6 +288,12 @@ class SwinTransformer(nn.Module):
     use_checkpoint: bool = False
     scan_blocks: bool = True
     out_norms: bool = True  # per-stage output LayerNorms (ODA encoder: off)
+    # 'edge' = replicate (ODA/ODA2 variants, ``oda2_swin_transformer.py:12``);
+    # 'zeros' = torch F.pad default (NewCRFs variant,
+    # ``model/NewCRFs/swin_transformer.py:209,277,425-427``)
+    padding_mode: str = "edge"
+    # timm min-window rule (ODA variant, ``oda_swin_transformer.py:56-60``)
+    shift_collapse: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -272,7 +303,8 @@ class SwinTransformer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         x = PatchEmbed(patch_size=self.patch_size, embed_dim=self.embed_dim,
-                       out_norm=self.patch_norm, dtype=self.dtype,
+                       out_norm=self.patch_norm,
+                       padding_mode=self.padding_mode, dtype=self.dtype,
                        name="patch_embed")(x)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
@@ -299,6 +331,8 @@ class SwinTransformer(nn.Module):
                 downsample=i < num_layers - 1,
                 use_checkpoint=self.use_checkpoint,
                 scan_blocks=self.scan_blocks,
+                padding_mode=self.padding_mode,
+                shift_collapse=self.shift_collapse,
                 dtype=self.dtype,
                 name=f"layers{i}",
             )(x, train)

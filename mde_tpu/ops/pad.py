@@ -12,13 +12,16 @@ def pad2d(x: jnp.ndarray, pad_t: int, pad_b: int, pad_l: int, pad_r: int,
     ``mode='edge'`` reproduces torch's ``padding_mode='replicate'`` — the
     reference's conv/window padding mode throughout
     (``model/ODA2/oda2_layer_utils.py:9``, ``oda2_swin_transformer.py:12``).
+    ``mode='zeros'`` (alias of numpy's ``constant``) reproduces torch's
+    ``F.pad`` default — the NewCRFs Swin variant
+    (``model/NewCRFs/swin_transformer.py:209,277,425-427``).
     """
     if pad_t == pad_b == pad_l == pad_r == 0:
         return x
     return jnp.pad(
         x,
         ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)),
-        mode=mode,
+        mode="constant" if mode == "zeros" else mode,
     )
 
 

