@@ -157,13 +157,51 @@ def _dw_kernel(kh: int, kw: int, th: int, w_out: int, cur_ref, nxt_ref,
         o_ref[...] = o_ref[...] + part
 
 
+def _dw_slice_kernel(kh: int, kw: int, th: int, w_out: int, cur_ref, nxt_ref,
+                     g_ref, o_ref):
+    """Weight gradient via hoisted shifted SLICES on the input dtype instead
+    of f32 ``pltpu.roll``s: one sublane relayout per column offset j (same
+    count as the roll variant) but on bf16 tiles — half the bytes moved —
+    and no whole-tile f32 materialization (the widen fuses into the FMA).
+    A/B candidate for ``_dw_kernel`` (VERDICT r4 item 1b)."""
+    halo = kh - 1
+    x = jnp.concatenate([cur_ref[0], nxt_ref[0]], axis=0) \
+        if halo else cur_ref[0]                    # (TH + kh - 1, W + kw - 1, TC)
+    g32 = g_ref[0].astype(jnp.float32)             # (TH, W, TC)
+    taps = []
+    for j in range(kw):
+        xj = x[:, j:j + w_out, :]                  # one W-relayout, input dtype
+        for i in range(kh):
+            t = xj[i:i + th].astype(jnp.float32) * g32
+            taps.append(jnp.sum(t, axis=(0, 1)))   # (TC,)
+    part = jnp.stack(taps).reshape(kw, kh, -1).swapaxes(0, 1)  # (kh, kw, TC)
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        o_ref[...] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_ref[...] = o_ref[...] + part
+
+
 def _dw_pallas(x, g, kh: int, kw: int, interpret: bool) -> jnp.ndarray:
     """dL/dw for the replicate-padded depthwise conv. x: (B,H,W,C) unpadded
-    input, g: (B,H,W,C) output cotangent; returns (kh, kw, C) f32."""
+    input, g: (B,H,W,C) output cotangent; returns (kh, kw, C) f32.
+
+    ``MDE_DW_KERNEL=slice`` selects the bf16 shifted-slice tap combine
+    (``_dw_slice_kernel``); the default ``roll`` keeps the f32
+    ``pltpu.roll`` variant (``_dw_kernel``)."""
+    import os
     from ..pad import pad2d
     b, h, wd, c = x.shape
-    # plan with f32 itemsize: the kernel casts the x tile to f32 (Mosaic's
-    # dynamic_rotate needs 32-bit data) so the working set is f32-sized
+    use_slice = os.environ.get("MDE_DW_KERNEL", "roll") == "slice"
+    kernel_body = _dw_slice_kernel if use_slice else _dw_kernel
+    # plan with f32 itemsize: the roll kernel casts the x tile to f32
+    # (Mosaic's dynamic_rotate needs 32-bit data) so the working set is
+    # f32-sized; the slice kernel keeps x in the input dtype but the same
+    # conservative plan keeps both under the VMEM budget
     th, tc = _plan(h, wd, c, kh, kw, 4)
     nh = -(-h // th)
 
@@ -179,7 +217,7 @@ def _dw_pallas(x, g, kh: int, kw: int, interpret: bool) -> jnp.ndarray:
     pairs = th // hb
     grid = (c // tc, b, nh)
     return pl.pallas_call(
-        functools.partial(_dw_kernel, kh, kw, th, wd),
+        functools.partial(kernel_body, kh, kw, th, wd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, wp, tc), lambda ci, bi, hi: (bi, hi, 0, ci),

@@ -345,6 +345,27 @@ def test_depthwise_split_vjp_parity(shape, k):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("shape,k", [
+    ((2, 14, 28, 64), 5),
+    ((1, 8, 16, 256), 5),
+])
+def test_depthwise_dw_slice_kernel_parity(shape, k, monkeypatch):
+    """The bf16-friendly shifted-slice dw kernel (MDE_DW_KERNEL=slice)
+    matches the roll variant / shift-FMA VJP exactly."""
+    monkeypatch.setenv("MDE_DW_KERNEL", "slice")
+    from mde_tpu.ops.pallas.depthwise import _dw_pallas, xla_depthwise_conv2d
+    x = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(8), (k, k, shape[-1]),
+                          jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(9), shape, jnp.float32)
+
+    _, rdw = jax.grad(lambda a, b: jnp.sum(xla_depthwise_conv2d(a, b) * g),
+                      argnums=(0, 1))(x, w)
+    ndw = _dw_pallas(x, g, k, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(ndw), np.asarray(rdw),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_crf_window_attention_impl_parity():
     from mde_tpu.models.newcrfs.layers import CRFWindowAttention
     from mde_tpu.ops.window import shifted_window_attn_mask

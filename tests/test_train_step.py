@@ -405,3 +405,40 @@ def test_cycle_momentum_schedule():
         upd, st = tx.update({"w": jnp.ones((3,)) * 0.1}, st, params)
         params = optax.apply_updates(params, upd)
     assert np.isfinite(np.asarray(params["w"])).all()
+
+
+@pytest.mark.heavy
+def test_bf16_adam_moments_overfit_drift():
+    """optimizer.moment_dtype='bfloat16' (optax mu_dtype) must track the f32
+    optimizer closely on a short overfit run — the knob that frees optimizer
+    HBM for batch-8 training (VERDICT r3 weak #6)."""
+    losses = {}
+    for md in ("float32", "bfloat16"):
+        cfg = dict(TINY_OPT)
+        cfg["optimizer"] = dict(TINY_OPT["optimizer"], lr=3e-3,
+                                moment_dtype=md)
+        opt = load_config(cfg)
+        model = build_model(opt, 0.001, 80.0, use_checkpoint=False,
+                            resize_to_multiple=False, encoder_kwargs=TINY_ENC)
+        batch = _fake_batch(2, 32, 32, seed=5)
+        vs = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)},
+                                        batch["image"][:1]))()
+        tx = build_optimizer(opt, total_steps=30)
+        state = TrainState.create(vs["params"], vs.get("batch_stats", {}), tx)
+        step = make_train_step(model, opt, 0.001, 80.0, tx, num_accum=1,
+                               donate=False)
+        traj = []
+        for i in range(12):
+            state, logs = step(state, batch, jax.random.PRNGKey(10 + i))
+            traj.append(float(logs["loss"]))
+        losses[md] = traj
+        # mu really is stored in bf16
+        mu_leaves = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+                     if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+        assert (len(mu_leaves) > 0) == (md == "bfloat16")
+
+    f32, bf16 = np.asarray(losses["float32"]), np.asarray(losses["bfloat16"])
+    assert bf16[-1] < bf16[0]  # it still learns
+    # trajectories agree to a few percent over the short run
+    rel = np.abs(f32 - bf16) / np.maximum(np.abs(f32), 1e-6)
+    assert rel.max() < 0.05, (rel.max(), f32[-1], bf16[-1])
