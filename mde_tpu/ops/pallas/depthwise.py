@@ -235,6 +235,129 @@ def _dw_pallas(x, g, kh: int, kw: int, interpret: bool) -> jnp.ndarray:
     )(xp, xp, gp)
 
 
+def _dxdw_kernel(kh: int, kw: int, th: int, w_in: int, g_cur, g_nxt, x_cur,
+                 x_nxt, w_ref, dx_ref, dw_ref):
+    """Fused single-pass backward: BOTH dxp (grad w.r.t. the padded input,
+    pre-fold) and dw from one sweep over shared g tiles.
+
+    Index plan (kh = kw = k, pad = k//2, halo = k-1):
+      gp4  = zero-pad g by (k-1) on every side          (B, H+2k-2, W+2k-2, C)
+      xps  = zero-pad the replicate-padded xp by (k-1) on TOP only
+                                                        (B, H+2k-2, W+k-1, C)
+      dxp[r, s]  = sum_{i,j} w[k-1-i, k-1-j] * gp4[r+i, s+j]   (VALID corr)
+      dw[i, j]   = sum_{u, q} xps[u+i, q] * gp4[u, q + (k-1) - j]
+
+    Both reads of gp4 use the SAME kw W-shifted slices (offsets 0..k-1,
+    width W + k - 1): slice o serves dx tap column j' = o and dw tap column
+    j = (k-1) - o. One sublane relayout per column offset — half the total
+    relayout work of running the dx conv and the dw tap-reduce separately —
+    and g/x tiles stay in the input dtype (no whole-tile f32 cast; the
+    widen fuses into the FMA). dxp accumulates f32, is written in the input
+    dtype, and the pad-transpose fold runs in XLA (``_dx_native``'s fold).
+    """
+    halo = kh - 1
+    wp = w_in + kw - 1      # xps width == dxp width
+    g = jnp.concatenate([g_cur[0], g_nxt[0]], axis=0) \
+        if halo else g_cur[0]                      # (TH + halo, W + 2k - 2, TC)
+    x = jnp.concatenate([x_cur[0], x_nxt[0]], axis=0) \
+        if halo else x_cur[0]                      # (TH + halo, W + k - 1, TC)
+    w_all = w_ref[...]                             # (kh, kw, TC) f32
+
+    dx_acc = jnp.zeros((th, wp) + g.shape[2:], jnp.float32)
+    taps = []
+    for o in range(kw):
+        gs = g[:, o:o + wp, :].astype(jnp.float32)  # ONE W-relayout per offset
+        # dx tap column j' = o: wf[i', o] = w[kh-1-i', kw-1-o]
+        for i2 in range(kh):
+            dx_acc = dx_acc + gs[i2:i2 + th] * w_all[kh - 1 - i2, kw - 1 - o]
+        # dw tap column j = (kw-1) - o: dw[i, j] = sum xps[u+i] * gs[u]
+        gs_cur = gs[:th]                            # dw reads only cur rows
+        for i in range(kh):
+            t = x[i:i + th].astype(jnp.float32) * gs_cur
+            taps.append(jnp.sum(t, axis=(0, 1)))    # (TC,)
+    dx_ref[0] = dx_acc.astype(dx_ref.dtype)
+
+    # taps were appended as (o, i) = (kw-1-j, i) -> reorder the PYTHON list
+    # to (i, j) row-major (Mosaic has no rev primitive for an array flip)
+    ordered = [taps[(kw - 1 - j) * kh + i]
+               for i in range(kh) for j in range(kw)]
+    part = jnp.stack(ordered).reshape(kh, kw, -1)
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw_ref[...] = dw_ref[...] + part
+
+
+def _dxdw_pallas(x, g, w, kh: int, kw: int, interpret: bool):
+    """Fused backward dispatch: returns (dx, dw_f32). dx includes the
+    replicate-pad fold (XLA linear_transpose of pad2d)."""
+    from ..pad import pad2d
+    b, h, wd, c = x.shape
+    halo = kh - 1
+    th, tc = _plan(h, wd, c, kh, kw, 4)
+    # rows of dxp to produce: H + halo (grad w.r.t. the padded input)
+    rows = h + halo
+    nt = -(-rows // th)
+
+    # gp4: g zero-padded by halo each side, rows padded out one extra tile
+    # so the next-halo read is in bounds
+    gp4 = jnp.pad(g, ((0, 0), (halo, 0), (halo, halo), (0, 0)))
+    gp4 = jnp.pad(gp4, ((0, 0), (0, (nt + 1) * th - gp4.shape[1]),
+                        (0, 0), (0, 0)))
+    # xps: replicate-padded x, zero-shifted down by halo
+    xp = pad2d(x, kh // 2, kh // 2, kw // 2, kw // 2, mode="edge")
+    xps = jnp.pad(xp, ((0, 0), (halo, 0), (0, 0), (0, 0)))
+    xps = jnp.pad(xps, ((0, 0), (0, (nt + 1) * th - xps.shape[1]),
+                        (0, 0), (0, 0)))
+
+    wp = wd + kw - 1
+    hb = max(halo, 1)
+    pairs = th // hb
+    grid = (c // tc, b, nt)
+    dxp, dw = pl.pallas_call(
+        functools.partial(_dxdw_kernel, kh, kw, th, wd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, wd + 2 * halo, tc),
+                         lambda ci, bi, ti: (bi, ti, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, wd + 2 * halo, tc),
+                         lambda ci, bi, ti: (bi, (ti + 1) * pairs, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wp, tc),
+                         lambda ci, bi, ti: (bi, ti, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, wp, tc),
+                         lambda ci, bi, ti: (bi, (ti + 1) * pairs, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, kw, tc), lambda ci, bi, ti: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, wp, tc), lambda ci, bi, ti: (bi, ti, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, kw, tc), lambda ci, bi, ti: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nt * th, wp, c), x.dtype),
+            jax.ShapeDtypeStruct((kh, kw, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gp4, gp4, xps, xps, w.astype(jnp.float32))
+
+    dxp = dxp[:, :rows]                        # (B, H + halo, W + halo, C)
+    fold = jax.linear_transpose(
+        lambda t: pad2d(t, kh // 2, kh // 2, kw // 2, kw // 2, mode="edge"),
+        jax.ShapeDtypeStruct(x.shape, dxp.dtype))
+    return fold(dxp)[0].astype(x.dtype), dw
+
+
 def _dx_native(g, w, x_shape, x_dtype):
     """dL/dx: full correlation of g with the flipped taps (again a grouped
     conv — MXU path), then the transpose of the replicate pad (edge rows fold
@@ -329,8 +452,12 @@ def _native_fwd(x, w, interpret):
 
 
 def _native_bwd(interpret, res, g):
+    import os
     x, w = res
     kh, kw, _ = w.shape
+    if os.environ.get("MDE_DWCONV_BWD", "split") == "fused":
+        dx, dw = _dxdw_pallas(x, g, w, kh, kw, interpret)
+        return dx, dw.astype(w.dtype)
     dx = _dx_native(g, w, x.shape, x.dtype)
     dw = _dw_pallas(x, g, kh, kw, interpret).astype(w.dtype)
     return dx, dw

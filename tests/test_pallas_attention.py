@@ -366,6 +366,30 @@ def test_depthwise_dw_slice_kernel_parity(shape, k, monkeypatch):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("shape,k", [
+    ((2, 14, 28, 64), 5),   # H not a tile multiple
+    ((1, 9, 11, 32), 3),
+    ((1, 8, 16, 256), 5),   # two channel tiles (dw accumulator revisits)
+])
+def test_depthwise_fused_dxdw_parity(shape, k):
+    """The fused single-pass dx+dw backward (MDE_DWCONV_BWD=fused,
+    ``_dxdw_pallas``) matches the shift-FMA VJP: dx including the
+    replicate-pad fold, dw exactly."""
+    from mde_tpu.ops.pallas.depthwise import _dxdw_pallas, xla_depthwise_conv2d
+    x = jax.random.normal(jax.random.PRNGKey(10), shape, jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(11), (k, k, shape[-1]),
+                          jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(12), shape, jnp.float32)
+
+    rdx, rdw = jax.grad(lambda a, b: jnp.sum(xla_depthwise_conv2d(a, b) * g),
+                        argnums=(0, 1))(x, w)
+    ndx, ndw = _dxdw_pallas(x, g, w, k, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(ndx), np.asarray(rdx),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ndw), np.asarray(rdw),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_crf_window_attention_impl_parity():
     from mde_tpu.models.newcrfs.layers import CRFWindowAttention
     from mde_tpu.ops.window import shifted_window_attn_mask

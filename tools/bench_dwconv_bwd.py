@@ -68,9 +68,13 @@ def main():
     def grad_loop(f, argnums):
         @jax.jit
         def loop(x_, w_, g_, n):
+            # perturb BOTH x and the cotangent g: dx depends only on (w, g)
+            # and dw only on (x, g) — perturbing x alone lets XLA hoist the
+            # entire dx computation out of the loop (measured as "0.0 ms")
             def body(_, acc):
                 x0 = x_ + acc.astype(x_.dtype)
-                gr = jax.grad(lambda a, b: loss(f, a, b, g_),
+                g0 = g_ + acc.astype(g_.dtype)
+                gr = jax.grad(lambda a, b: loss(f, a, b, g0),
                               argnums=argnums)(x0, w_)
                 leaves = jax.tree_util.tree_leaves(gr)
                 s = jnp.zeros((), jnp.float32)
@@ -99,6 +103,33 @@ def main():
     bench("xla_full(dx+dw)", grad_loop(native_depthwise_conv2d, (0, 1)))
     bench("xla_dx", grad_loop(native_depthwise_conv2d, (0,)))
     bench("xla_dw", grad_loop(native_depthwise_conv2d, (1,)))
+
+    # round-4 candidates: bf16 shifted-slice dw, fused single-pass dx+dw
+    os.environ["MDE_DW_KERNEL"] = "slice"
+    bench("slice_dw", piece_loop(
+        lambda x_, w_, g0: _dw_pallas(x_, g0, 5, 5, False)))
+    os.environ["MDE_DW_KERNEL"] = "roll"
+    from mde_tpu.ops.pallas.depthwise import _dxdw_pallas
+
+    def fused_piece(x_, w_, g0):
+        dx, dw = _dxdw_pallas(x_, g0, w_, 5, 5, False)
+        return dx.astype(jnp.float32)[:1, :1, :1, :1] + \
+            dw.astype(jnp.float32)[:1, :1, :1]
+    bench("fused(dx+dw)", piece_loop(fused_piece))
+
+    # numeric spot-check of the fused pair on-chip vs the split pair
+    fdx, fdw = jax.jit(lambda a, b, g_: _dxdw_pallas(a, g_, b, 5, 5, False))(
+        x, wk, g)
+    sdx0 = jax.jit(lambda a, b, g_: _dx_native(g_, b, a.shape, a.dtype))(
+        x, wk, g)
+    sdw0 = jax.jit(lambda a, b, g_: _dw_pallas(a, g_, 5, 5, False))(x, wk, g)
+    print(json.dumps({
+        "check": "fused_vs_split",
+        "max_abs_dx": float(jnp.max(jnp.abs(
+            fdx.astype(jnp.float32) - sdx0.astype(jnp.float32)))),
+        "max_rel_dw": float(jnp.max(jnp.abs(fdw - sdw0)
+                                    / (jnp.abs(sdw0) + 1e-6))),
+    }), flush=True)
 
     # on-chip numeric check: split vs XLA's own VJP of the same native fwd
     sdx, sdw = jax.jit(lambda a, b, g_: jax.grad(

@@ -53,10 +53,15 @@ def main():
 
         @jax.jit
         def gloop(args, n):
+            # consume EVERY grad leaf — reading only g[0] lets XLA dead-code
+            # -eliminate the weight-grad computations (DCE bug fixed r4)
             def body(_, acc):
                 a0 = (args[0] + acc.astype(args[0].dtype),) + args[1:]
                 g = jax.grad(lossf)((a0))
-                return jnp.mean(g[0].astype(jnp.float32))
+                s = jnp.zeros((), jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(g):
+                    s = s + jnp.mean(leaf.astype(jnp.float32))
+                return s
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
         def tf(n):
@@ -105,6 +110,30 @@ def main():
         e = tnn.gelu(cv)
         return e @ w3_
     bench("chain lin1+glu+conv+gelu+lin3", chain, x, w1, wk, w3)
+
+    # fused GLU+conv+BN(affine)+GELU kernels vs the unfused composite.
+    # The unfused reference uses the NATIVE grouped conv (the production
+    # lowering) — the shift-FMA composite OOMs at these shapes on TPU (XLA
+    # materializes the 25 shifted slices).
+    from mde_tpu.ops.pallas.glu_ff import fused_glu_dwconv_bn_gelu
+    s_aff = jnp.asarray(rng.rand(hid) + 0.5, jnp.float32)
+    t_aff = jnp.asarray(rng.rand(hid) - 0.5, jnp.float32)
+
+    def unfused_native(ab, w_, s_, t_):
+        p, q = jnp.split(ab, 2, axis=-1)
+        g = p * jax.nn.sigmoid(q)
+        y = native_depthwise_conv2d(g, w_)
+        y = y.astype(jnp.float32) * s_ + t_
+        return jax.nn.gelu(y, approximate=False).astype(ab.dtype)
+    bench("glu+conv+bn+gelu unfused(native)", unfused_native,
+          x2, wk, s_aff, t_aff)
+
+    def run_fused(a, b, s_, t_):
+        return fused_glu_dwconv_bn_gelu(a, b, s_, t_, impl="pallas")
+    os.environ["MDE_GLU_COMBINE"] = "slice"
+    bench("glu+conv+bn+gelu fused(slice)", run_fused, x2, wk, s_aff, t_aff)
+    os.environ["MDE_GLU_COMBINE"] = "roll"
+    bench("glu+conv+bn+gelu fused(roll)", run_fused, x2, wk, s_aff, t_aff)
 
 
 

@@ -105,11 +105,16 @@ def main():
 
     @jax.jit
     def vag_loop(params, batch_stats, n):
+        # consume EVERY gradient leaf: touching only one lets XLA dead-code
+        # -eliminate the other weight-grad contractions (this tool shipped
+        # round 3 with exactly that bug — vag read ~50 ms low)
         def body(_, acc):
             l, g = jax.value_and_grad(loss_of)(
                 params, batch_stats, x + acc * jnp.asarray(1e-12, x.dtype))
-            return l + jnp.mean(jax.tree_util.tree_leaves(g)[0]
-                                .astype(jnp.float32))
+            s = l
+            for leaf in jax.tree_util.tree_leaves(g):
+                s = s + jnp.mean(leaf.astype(jnp.float32))
+            return s
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     def t_of(loop):
@@ -122,6 +127,28 @@ def main():
     report("fwd_eval", slope(t_of(fwd_eval_loop)) * 1000)
     report("fwd_train(+loss)", slope(t_of(fwd_train_loop)) * 1000)
     report("value_and_grad", slope(t_of(vag_loop)) * 1000)
+
+    # optimizer in isolation: clip + AdamW + apply on fixed grads
+    fixed_grads = jax.jit(lambda p: jax.tree_util.tree_map(
+        lambda l: jnp.full_like(l, 1e-6), p))(state.params)
+
+    @jax.jit
+    def opt_loop(params, opt_state, n):
+        def body(_, carry):
+            p, s = carry
+            updates, s2 = tx.update(fixed_grads, s, p)
+            import optax as _ox
+            return (_ox.apply_updates(p, updates), s2)
+        return jax.lax.fori_loop(0, n, body, (params, opt_state))
+
+    def t_opt(n):
+        t0 = time.perf_counter()
+        p, s = opt_loop(state.params, state.opt_state, n)
+        jax.block_until_ready(jax.tree_util.tree_leaves(p)[0])
+        float(jnp.mean(jax.tree_util.tree_leaves(p)[0]))
+        return time.perf_counter() - t0
+
+    report("optimizer(clip+adamw+apply)", slope(t_opt) * 1000)
 
     step = make_train_step(model, opt, 0.001, 80.0, tx, num_accum=1,
                            donate=True)
