@@ -135,6 +135,23 @@ def make_train_step(model, opt, min_depth: float, max_depth: float,
         assert b % num_accum == 0, (b, num_accum)
         micro = b // num_accum
 
+        if num_accum == 1:
+            # fast path: no microbatch scan, no zero-grad tree init/add —
+            # the accumulate machinery costs a few ms of pure HBM traffic
+            # on an 88M-param tree
+            (loss, (batch_stats, logs)), grads = grad_fn(
+                state.params, state.batch_stats, images, depths, rng)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            logs["loss"] = loss
+            logs["grad_norm"] = optax.global_norm(grads)
+            logs["param_norm"] = optax.global_norm(params)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      batch_stats=batch_stats,
+                                      opt_state=opt_state)
+            return new_state, logs
+
         def micro_body(carry, xs):
             batch_stats, grad_acc, loss_acc, logs_acc = carry
             mi, md, mrng = xs
