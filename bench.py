@@ -83,7 +83,13 @@ def main():
                         use_checkpoint=False)
 
     batch = int(os.environ.get("MDE_BENCH_BATCH", "8"))  # 8 beats 4 (+22%) and 16 on v5e
-    x = jnp.asarray(np.random.RandomState(0).rand(batch, 352, 704, 3),
+    # MDE_BENCH_SHAPE: train (KITTI 352x704 -> 448x896, the default),
+    # kitti_test (352x1216 -> 448x1536, the serving/eval shape),
+    # nyu (480x640 -> 448x672)
+    shapes = {"train": (352, 704), "kitti_test": (352, 1216),
+              "nyu": (480, 640)}
+    hw = shapes[os.environ.get("MDE_BENCH_SHAPE", "train")]
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, *hw, 3),
                     jnp.float32)
 
     variables = jax.jit(lambda: model.init(
@@ -141,7 +147,7 @@ def main():
     # cost_analysis counts nn.scan bodies once. The two counts must stay
     # within ~15%; if cost_analysis is unavailable the hand count substitutes.
     from mde_tpu.utils.flops import flagship_forward_flops
-    flops_hand = flagship_forward_flops(352, 704, encoder_type=encoder_type)
+    flops_hand = flagship_forward_flops(*hw, encoder_type=encoder_type)
     flops_agree = None
     if flops_per_img:
         flops_agree = abs(flops_per_img - flops_hand) / flops_hand < 0.15
@@ -175,7 +181,7 @@ def main():
         "tflops_per_img_hand": round(flops_hand / 1e12, 4),
         "flops_counts_agree_15pct": flops_agree,
         "model": f"oda2_red_order_swin2(swin-{encoder_type[0].upper()}, dec512, rep3, red33)",
-        "shape": [batch, 352, 704, 3],
+        "shape": list(x.shape),
         "dtype": "bfloat16",
         "device": str(jax.devices()[0]),
     }))
