@@ -71,7 +71,7 @@ def test_red_order_cls_forward():
     # cls decode: outputs are softmax-weighted learnable bins in (0,1) x max
     assert float(out.min()) >= 0 and float(out.max()) <= 80.0
     # learnable bins exist with log-spaced init ending at 0.999
-    bins = np.asarray(vs["params"]["reducer"]["depth_bins"])
+    bins = np.asarray(vs["params"]["decoder"]["reducer"]["depth_bins"])
     assert bins.shape == (16,)
     assert bins[0] == pytest.approx(0.001) and bins[-1] == pytest.approx(0.999)
     # reference quirk: the prepended 0.001 exceeds exp(-10) so the first
@@ -88,7 +88,8 @@ def test_red_order_swin_gen1_forward():
     out, outs, attns = jax.jit(lambda v, a: m.apply(v, a))(vs, x)
     assert out.shape == (1, 16, 16, 1)
     # learnable sinusoidal embedding table present
-    assert vs["params"]["reducer"]["depth_embedding"].shape == (16, 32)
+    assert vs["params"]["decoder"]["reducer"]["depth_embedding"].shape \
+        == (16, 32)
 
 
 def test_red_reg_forward():
