@@ -807,6 +807,55 @@ def _migrate_head(head: Dict[str, Any], to_scan: bool) -> Dict[str, Any]:
     return out
 
 
+def migrate_state_layout(state, to_scan: bool):
+    """Convert a TrainState (params, batch_stats, optimizer moments) between
+    the scan and unrolled head layouts. The optimizer state mirrors the param
+    tree (Adam mu/nu), so it migrates with the same walk."""
+    import jax
+
+    def mig_tree(t):
+        return migrate_head_layout(t, to_scan)
+
+    def mig_opt(o):
+        return jax.tree_util.tree_map(
+            lambda n: mig_tree(n) if isinstance(n, dict) else n,
+            o, is_leaf=lambda n: isinstance(n, dict))
+
+    return state.replace(params=mig_tree(state.params),
+                         batch_stats=mig_tree(state.batch_stats),
+                         opt_state=mig_opt(state.opt_state))
+
+
+def restore_checkpoint_migrating(path: str, state, meta_template=None):
+    """Driver resume helper: restore a checkpoint into ``state``'s layout,
+    transparently migrating between the scan and unrolled head layouts when
+    the stored run used the other ``model.scan_repeats`` setting (the
+    default flipped to unrolled in round 4 — core/layout.py).
+
+    Returns the payload dict with ``payload["state"]`` in ``state``'s
+    layout. Raises the original error when the mismatch is not a head-layout
+    difference."""
+    import jax
+    meta = dict(meta_template or {"step": 0, "best_value": 0.0})
+    template = {"state": jax.device_get(state), "meta": meta}
+    def has_scan_head(tree) -> bool:
+        if isinstance(tree, dict):
+            return "repeat" in tree or any(
+                has_scan_head(v) for v in tree.values())
+        return False
+
+    try:
+        return restore_checkpoint(path, template)
+    except Exception:
+        cur_scan = has_scan_head(state.params)
+        alt = migrate_state_layout(jax.device_get(state),
+                                   to_scan=not cur_scan)
+        payload = restore_checkpoint(path, {"state": alt, "meta": meta})
+        payload["state"] = migrate_state_layout(payload["state"],
+                                                to_scan=cur_scan)
+        return payload
+
+
 def migrate_head_layout(variables: Dict[str, Any], to_scan: bool) -> Dict[str, Any]:
     """Convert flagship variables between the nn.scan head layout
     (``scan_repeats=True``: per-repeat params stacked under ``.../repeat/``)

@@ -167,9 +167,9 @@ class Trainer:
             path = ckpt.latest_checkpoint(resume) or (
                 resume if os.path.isdir(resume) else None)
             if path:
-                payload = ckpt.restore_checkpoint(
-                    path, {"state": jax.device_get(self.state),
-                           "meta": {"step": 0, "best_value": 0.0}})
+                # migrates transparently when the stored run used the other
+                # model.scan_repeats head layout (core/checkpoint.py)
+                payload = ckpt.restore_checkpoint_migrating(path, self.state)
                 self.state = jax.tree_util.tree_map(
                     jnp.asarray, payload["state"])
                 self.best_value = payload["meta"].get("best_value") or None
