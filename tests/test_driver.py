@@ -186,7 +186,9 @@ def test_aot_export_roundtrip(tmp_path):
     x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
     import pytest as _pytest
     try:
-        pred = mod.load_and_run(out, x, model=model)
+        # materialize inside the try: the executable runs async and the
+        # loader failure surfaces only when the result is read
+        pred = np.asarray(mod.load_and_run(out, x, model=model))
     except Exception as e:  # noqa: BLE001
         if "not found" in str(e) or "Buffer Definition" in str(e):
             # XLA:CPU's AOT loader cannot re-load executables in-process on
