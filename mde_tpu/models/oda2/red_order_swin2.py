@@ -55,6 +55,7 @@ class OrderedSwinBlock(nn.Module):
     bn_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, indices: jnp.ndarray, train: bool = False):
@@ -68,6 +69,7 @@ class OrderedSwinBlock(nn.Module):
         ff_kwargs = dict(
             feedforward_dims=self.feedforward_dims, drop_prob=self.drop_prob,
             bn_momentum=self.bn_momentum, bn_eps=self.bn_eps, dtype=self.dtype,
+            tp_axis=self.tp_axis,
         )
 
         x, attn1 = PreNormOrderedSwinSA(shift_size=0, name="sa1", **sa_kwargs)(
@@ -114,6 +116,7 @@ class OrderedRepeatCell(nn.Module):
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -134,7 +137,8 @@ class OrderedRepeatCell(nn.Module):
             attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
             bias_type=self.bias_type, bias_init=self.bias_init,
             bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
-            dtype=self.dtype, return_weights=False, name="attn",
+            dtype=self.dtype, return_weights=False, tp_axis=self.tp_axis,
+            name="attn",
         )(x, indices, train)
         return x, out
 
@@ -168,6 +172,7 @@ class OrderedSwinRegHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
     scan_repeats: bool = SCAN_REPEATS_DEFAULT
+    tp_axis: Optional[str] = None
 
     def _conv_head(self, in_dims: int, index: int, upsample: bool):
         """ConvBN -> ConvBN -> 1x1 conv to one channel (logit)."""
@@ -214,7 +219,7 @@ class OrderedSwinRegHead(nn.Module):
                 attn_drop_prob=self.attn_drop_prob, drop_prob=self.drop_prob,
                 bias_type=self.bias_type, bias_init=self.bias_init,
                 bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
-                dtype=self.dtype, name="repeat",
+                dtype=self.dtype, tp_axis=self.tp_axis, name="repeat",
             )(x, train)
             outs = [stacked[i] for i in range(self.num_repeats)]
             logit = self._conv_head(in_dims, self.num_repeats,
@@ -243,6 +248,7 @@ class OrderedSwinRegHead(nn.Module):
                 bias_type=self.bias_type, bias_init=self.bias_init,
                 bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
                 dtype=self.dtype, return_weights=self.return_weights,
+                tp_axis=self.tp_axis,
                 name=f"attn{i}",
             )(x, indices, train)
             attn_weights += aws
@@ -274,6 +280,7 @@ class OrderedSwin2RegDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
     scan_repeats: bool = SCAN_REPEATS_DEFAULT
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, enc_features: Tuple[jnp.ndarray, ...], train: bool = False):
@@ -368,7 +375,8 @@ class OrderedSwin2RegDecoder(nn.Module):
             bias_init=self.bias_init, bn_momentum=self.bn_momentum,
             bn_eps=self.bn_eps, use_checkpoint=self.use_checkpoint,
             dtype=self.dtype, return_weights=self.return_weights,
-            scan_repeats=self.scan_repeats, name="reducer",
+            scan_repeats=self.scan_repeats, tp_axis=self.tp_axis,
+            name="reducer",
         )(dec, train=train)
 
 
@@ -416,6 +424,7 @@ class ODA2OrderedSwin2RegModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     return_weights: bool = False
     scan_repeats: bool = SCAN_REPEATS_DEFAULT
+    tp_axis: Optional[str] = None
     # test-size override for tiny configs (tests / dryrun): skip 224-multiple resize
     resize_to_multiple: bool = True
     encoder_kwargs: Optional[dict] = None
@@ -453,7 +462,8 @@ class ODA2OrderedSwin2RegModel(nn.Module):
             neck_type=self.neck_type, bn_momentum=self.bn_momentum,
             bn_eps=self.bn_eps, use_checkpoint=self.use_checkpoint,
             dtype=self.dtype, return_weights=self.return_weights,
-            scan_repeats=self.scan_repeats, name="decoder",
+            scan_repeats=self.scan_repeats, tp_axis=self.tp_axis,
+            name="decoder",
         )(features, train=train)
 
         outs = tuple(jnp.asarray(o, jnp.float32) * self.max_depth for o in outs)
@@ -487,6 +497,9 @@ class ODA2OrderedSwin2RegModel(nn.Module):
             # and blocks cross-repeat scheduling). scan_repeats=true opts
             # back into the ~3x-smaller head HLO when compile time matters.
             scan_repeats=opt.get("scan_repeats", SCAN_REPEATS_DEFAULT),
+            # optional tensor-parallel mesh axis for the FF hot path
+            # (beyond-reference scaling; see PreNormDWConvFF.tp_axis)
+            tp_axis=opt.get("tp_axis", None),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

@@ -14,6 +14,24 @@ from .init import trunc_normal_init
 from .depthwise import DepthwiseConv2d
 
 
+def _tp_shard_channels(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
+    """Constrain the channel dim of an NHWC activation to a tensor-parallel
+    mesh axis — a no-op when no mesh with that axis is active (so modules
+    with ``tp_axis`` set still init/apply outside a mesh context, e.g. the
+    jitted ``model.init``)."""
+    if not axis:
+        return x
+    from jax.sharding import PartitionSpec as P
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or axis not in getattr(mesh, "axis_names", ()):
+            return x
+    except Exception:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, P(*([None] * (x.ndim - 1)), axis))
+
+
 def _dense(features: int, dtype, name: str, use_bias: bool = True):
     return nn.Dense(
         features,
@@ -97,6 +115,13 @@ class PreNormDWConvFF(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     ff_impl: str = "auto"
+    # Optional tensor-parallel axis (e.g. parallel.mesh.MODEL_AXIS): the GLU
+    # output, depthwise conv, BN and GELU — the FF's dominant activations and
+    # VPU compute — shard over this mesh axis by channel (depthwise conv and
+    # BN are exactly channel-parallel); lin3 then contracts over the sharded
+    # hidden dim and GSPMD inserts the psum over ICI. None (default) = no
+    # constraint, identical single-axis behavior.
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -145,9 +170,11 @@ class PreNormDWConvFF(nn.Module):
             # GLU over the channel dim: first half * sigmoid(second half)
             a, b = jnp.split(x, 2, axis=-1)
             x = a * nn.sigmoid(b)
+            x = _tp_shard_channels(x, self.tp_axis)
             from .remat import tag_conv, tag_glu
             x = bn(tag_conv(conv(tag_glu(x))))
             x = self.act(x)
+            x = _tp_shard_channels(x, self.tp_axis)
 
         x = _dense(in_dims, self.dtype, "lin3")(x)
         x = nn.Dropout(self.drop_prob, deterministic=not train)(x)

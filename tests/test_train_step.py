@@ -494,3 +494,44 @@ def test_resume_across_scan_layout_flip(tmp_path):
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)),
         payload2["state"].params, state_s.params)
+
+
+def test_tensor_parallel_2d_mesh_matches_replicated():
+    """Optional tensor parallelism (model.tp_axis): a (data=2, model=4) mesh
+    shards the FF hot path (GLU/conv/BN/GELU activations by channel; the
+    depthwise conv and BN are exactly channel-parallel) with GSPMD inserting
+    the lin3 psum. The sharded train step must reproduce the replicated
+    1D-mesh loss (beyond-reference scaling — SURVEY §2.8 marks TP optional)."""
+    from mde_tpu.parallel.mesh import MODEL_AXIS
+
+    cfg = dict(TINY_OPT)
+    cfg["model"] = dict(TINY_OPT["model"], tp_axis=MODEL_AXIS)
+    opt = load_config(cfg)
+    model = build_model(opt, 0.001, 80.0, use_checkpoint=False,
+                        resize_to_multiple=False, encoder_kwargs=TINY_ENC)
+    batch = _fake_batch(4, 32, 32, seed=11)
+    vs = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(7)},
+                                    batch["image"][:1]))()
+    tx = build_optimizer(opt, total_steps=10)
+    state = TrainState.create(vs["params"], vs.get("batch_stats", {}), tx)
+    step = make_train_step(model, opt, 0.001, 80.0, tx, num_accum=1,
+                           donate=False)
+
+    mesh2d = make_mesh(n_data=2, n_model=4)
+    assert mesh2d.devices.shape == (2, 4)
+    with mesh2d:
+        s2d = replicate(mesh2d, state)
+        b2d = shard_batch(mesh2d, batch)
+        new2d, logs2d = step(s2d, b2d, jax.random.PRNGKey(8))
+        loss2d = float(logs2d["loss"])
+
+    # reference: same step on a plain data-only mesh (batch 4 -> 4-way)
+    mesh1d = make_mesh(n_data=4)
+    with mesh1d:
+        s1d = replicate(mesh1d, state)
+        b1d = shard_batch(mesh1d, batch)
+        _, logs1d = step(s1d, b1d, jax.random.PRNGKey(8))
+        loss1d = float(logs1d["loss"])
+
+    assert np.isfinite(loss2d)
+    np.testing.assert_allclose(loss2d, loss1d, rtol=1e-4)
