@@ -194,6 +194,116 @@ def make_train_step(model, opt, min_depth: float, max_depth: float,
     return train_step
 
 
+def make_train_step_shard_map(model, opt, min_depth: float, max_depth: float,
+                              tx: optax.GradientTransformation, mesh,
+                              adapter: Optional[ModelAdapter] = None,
+                              num_accum: int = 1,
+                              freeze_bn: bool = False,
+                              data_axis: str = "data"):
+    """Explicit-SPMD train step: ``shard_map`` over the data axis with
+    ``pmean`` for gradients/stats/logs instead of GSPMD global arrays.
+
+    Why it exists: GSPMD has no partitioning rule for ``pallas_call``, so on
+    real multi-chip hardware the fused attention/conv kernels inside the
+    global-array step risk being replicated (gathering the full batch per
+    chip). Under ``shard_map`` every op — including the Pallas kernels —
+    runs per shard on its local batch slice, and the cross-chip collectives
+    are the explicit ``pmean``s here, riding ICI.
+
+    Semantics vs the GSPMD step (equal when BN is frozen; both tested):
+    * BN train stats are per-shard with pmean'd running-stat updates —
+      torch-DDP-without-SyncBN behavior, i.e. the reference's own default
+      (SURVEY 2.8). The GSPMD step computes global-batch stats (SyncBN).
+    * dropout rngs are decorrelated per shard via ``fold_in(axis_index)``.
+    """
+    from jax.sharding import PartitionSpec
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax moved it
+        from jax.shard_map import shard_map  # type: ignore
+
+    if adapter is None:
+        adapter = make_adapter(opt.get("model", {}).get("name", ""))
+    depth_loss = DepthLoss(opt["loss"], min_depth, max_depth)
+    from ..ops import tnn
+
+    def loss_fn(params, batch_stats, images, depths, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        import contextlib
+        ctx = tnn.bn_freeze_scope() if freeze_bn else contextlib.nullcontext()
+        with ctx:
+            out, updates = model.apply(variables, images, train=True,
+                                       rngs={"dropout": rng},
+                                       mutable=["batch_stats"])
+        outs, centers = adapter(out)
+        loss, logs = depth_loss(outs, depths, bin_centers=centers)
+        return loss, (updates["batch_stats"], logs)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def per_shard(params, batch_stats, opt_state, step_no, images, depths,
+                  rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        b = images.shape[0]
+        micro = b // num_accum
+
+        def micro_body(carry, xs):
+            stats, grad_acc, loss_acc, logs_acc = carry
+            mi, md, mrng = xs
+            (loss, (stats, logs)), grads = grad_fn(params, stats, mi, md,
+                                                   mrng)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            logs_acc = jax.tree_util.tree_map(jnp.add, logs_acc, logs)
+            return (stats, grad_acc, loss_acc + loss, logs_acc), None
+
+        rngs = jax.random.split(rng, num_accum)
+        im_s = images.reshape(num_accum, micro, *images.shape[1:])
+        de_s = depths.reshape(num_accum, micro, *depths.shape[1:])
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zero_logs = {"loss": jnp.zeros(()), "loss_si": jnp.zeros(())}
+        if depth_loss.sog_weight > 0:
+            zero_logs["loss_sog"] = jnp.zeros(())
+        if depth_loss.chamfer_weight > 0:
+            zero_logs["loss_chamfer"] = jnp.zeros(())
+        (batch_stats, grads, _, logs_sum), _ = jax.lax.scan(
+            micro_body, (batch_stats, zero_grads, jnp.zeros(()), zero_logs),
+            (im_s, de_s, rngs))
+
+        # explicit ICI collectives — the DDP all-reduce, spelled out
+        grads = jax.lax.pmean(
+            jax.tree_util.tree_map(lambda g: g / num_accum, grads),
+            data_axis)
+        batch_stats = jax.lax.pmean(batch_stats, data_axis)
+        logs = jax.lax.pmean(
+            jax.tree_util.tree_map(lambda x: x / num_accum, logs_sum),
+            data_axis)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        logs["grad_norm"] = optax.global_norm(grads)
+        logs["param_norm"] = optax.global_norm(params)
+        return params, batch_stats, opt_state, step_no + 1, logs
+
+    rep = PartitionSpec()
+    dat = PartitionSpec(data_axis)
+    mapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, dat, dat, rep),
+        out_specs=(rep, rep, rep, rep, rep),
+        check_rep=False)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        params, batch_stats, opt_state, step_no, logs = mapped(
+            state.params, state.batch_stats, state.opt_state, state.step,
+            batch["image"], batch["depth"], rng)
+        return state.replace(step=step_no, params=params,
+                             batch_stats=batch_stats,
+                             opt_state=opt_state), logs
+
+    return train_step
+
+
 def make_eval_step(model, opt, min_depth_eval: float, max_depth_eval: float,
                    data_type: str = "KITTI", flip_eval: bool = False):
     """Jitted eval step: forward (+ optional flip-averaging), resize to GT,
