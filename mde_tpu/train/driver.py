@@ -127,6 +127,17 @@ class Trainer:
 
     def _get_step(self, freeze_bn: bool):
         if freeze_bn not in self._steps:
+            spmd = self.opt.get("train", {}).get("spmd", "gspmd")
+            if spmd == "shard_map" and self.mesh is not None:
+                # explicit per-shard SPMD: Pallas kernels run on local batch
+                # slices, collectives are explicit pmeans (see
+                # make_train_step_shard_map for when to prefer this)
+                from .step import make_train_step_shard_map
+                self._steps[freeze_bn] = make_train_step_shard_map(
+                    self.model, self.opt, self.min_depth, self.max_depth,
+                    self.tx, self.mesh, num_accum=self.num_accum,
+                    freeze_bn=freeze_bn)
+                return self._steps[freeze_bn]
             # donate: the previous TrainState's buffers are reused in place
             # (halves peak optimizer/param HBM); self.state always points at
             # the newest state so nothing dangles
