@@ -846,11 +846,17 @@ def restore_checkpoint_migrating(path: str, state, meta_template=None):
 
     try:
         return restore_checkpoint(path, template)
-    except Exception:
+    except Exception as orig:
         cur_scan = has_scan_head(state.params)
-        alt = migrate_state_layout(jax.device_get(state),
-                                   to_scan=not cur_scan)
-        payload = restore_checkpoint(path, {"state": alt, "meta": meta})
+        try:
+            alt = migrate_state_layout(jax.device_get(state),
+                                       to_scan=not cur_scan)
+            payload = restore_checkpoint(path, {"state": alt, "meta": meta})
+        except Exception:
+            # the failure is not a head-layout mismatch (missing/corrupt
+            # checkpoint, other structure drift): surface the ORIGINAL
+            # error, not the migrated retry's (ADVICE r4 low #3)
+            raise orig from None
         payload["state"] = migrate_state_layout(payload["state"],
                                                 to_scan=cur_scan)
         return payload

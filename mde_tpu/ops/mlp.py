@@ -18,15 +18,36 @@ def _tp_shard_channels(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
     """Constrain the channel dim of an NHWC activation to a tensor-parallel
     mesh axis — a no-op when no mesh with that axis is active (so modules
     with ``tp_axis`` set still init/apply outside a mesh context, e.g. the
-    jitted ``model.init``)."""
+    jitted ``model.init``).
+
+    Mesh detection covers BOTH context styles (ADVICE r4 medium #1 — the
+    abstract-mesh probe alone is empty under the ``with mesh:`` contexts this
+    repo uses, silently no-oping the constraint):
+    * ``jax.set_mesh``/``use_mesh`` — visible via ``get_abstract_mesh()``;
+    * plain ``with mesh:`` — visible via the thread resource env's physical
+      mesh (that context is also what makes ``with_sharding_constraint``
+      accept a bare ``PartitionSpec``).
+    """
     if not axis:
         return x
     from jax.sharding import PartitionSpec as P
+
+    def _has_axis(m) -> bool:
+        return (m is not None and not getattr(m, "empty", False)
+                and axis in getattr(m, "axis_names", ()))
+
+    active = False
     try:
-        mesh = jax.sharding.get_abstract_mesh()
-        if mesh is None or axis not in getattr(mesh, "axis_names", ()):
-            return x
+        active = _has_axis(jax.sharding.get_abstract_mesh())
     except Exception:
+        pass
+    if not active:
+        try:
+            from jax._src import mesh as _mesh_lib
+            active = _has_axis(_mesh_lib.thread_resources.env.physical_mesh)
+        except Exception:
+            pass
+    if not active:
         return x
     return jax.lax.with_sharding_constraint(
         x, P(*([None] * (x.ndim - 1)), axis))

@@ -293,13 +293,39 @@ def _dxdw_kernel(kh: int, kw: int, th: int, w_in: int, g_cur, g_nxt, x_cur,
         dw_ref[...] = dw_ref[...] + part
 
 
+def _plan_fused(h: int, w: int, c: int, kh: int, kw: int, itemsize: int):
+    """VMEM plan for the fused dx+dw kernel (ADVICE r4 low #4: ``_plan``
+    models the dw-only working set; the fused kernel additionally streams the
+    xps tile, a wider gp4 tile (W + 2(k-1)) and holds an f32 dx accumulator).
+
+    Accounts, per (th, tc) tile: double-buffered IO blocks (gp4 cur+halo at
+    width W+2(k-1), xps cur+halo at width W+k-1, dxp out) plus the kernel
+    working set (concat g and x in the input dtype, one f32 gs slice, the
+    f32 dx accumulator, one f32 x-cast tap temp)."""
+    tc = c if c < 128 else 128
+    budget = int(9.5 * 1024 * 1024)
+    halo = kh - 1
+    hb = max(halo, 1)
+    wp = w + kw - 1
+    w2 = w + 2 * halo
+    top = -(-h // hb) * hb
+    for th in range(top, 0, -hb):
+        io = (((th + hb) * w2 + (th + hb) * wp + th * wp)
+              * tc * itemsize * 2 + kh * kw * tc * 4 * 2)
+        work = (((th + hb) * w2 + (th + hb) * wp) * tc * itemsize
+                + ((th + hb) * w2 + 2 * th * wp) * tc * 4)
+        if io + work <= budget:
+            return th, tc
+    return hb, tc
+
+
 def _dxdw_pallas(x, g, w, kh: int, kw: int, interpret: bool):
     """Fused backward dispatch: returns (dx, dw_f32). dx includes the
     replicate-pad fold (XLA linear_transpose of pad2d)."""
     from ..pad import pad2d
     b, h, wd, c = x.shape
     halo = kh - 1
-    th, tc = _plan(h, wd, c, kh, kw, 4)
+    th, tc = _plan_fused(h, wd, c, kh, kw, x.dtype.itemsize)
     # rows of dxp to produce: H + halo (grad w.r.t. the padded input)
     rows = h + halo
     nt = -(-rows // th)

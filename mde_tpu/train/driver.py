@@ -136,7 +136,8 @@ class Trainer:
                 self._steps[freeze_bn] = make_train_step_shard_map(
                     self.model, self.opt, self.min_depth, self.max_depth,
                     self.tx, self.mesh, num_accum=self.num_accum,
-                    freeze_bn=freeze_bn)
+                    freeze_bn=freeze_bn,
+                    freeze_encoder_bn=self.freeze_encoder_bn, donate=True)
                 return self._steps[freeze_bn]
             # donate: the previous TrainState's buffers are reused in place
             # (halves peak optimizer/param HBM); self.state always points at

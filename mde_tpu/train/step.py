@@ -199,6 +199,8 @@ def make_train_step_shard_map(model, opt, min_depth: float, max_depth: float,
                               adapter: Optional[ModelAdapter] = None,
                               num_accum: int = 1,
                               freeze_bn: bool = False,
+                              freeze_encoder_bn: bool = False,
+                              donate: bool = False,
                               data_axis: str = "data"):
     """Explicit-SPMD train step: ``shard_map`` over the data axis with
     ``pmean`` for gradients/stats/logs instead of GSPMD global arrays.
@@ -218,9 +220,13 @@ def make_train_step_shard_map(model, opt, min_depth: float, max_depth: float,
     """
     from jax.sharding import PartitionSpec
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax moved it
-        from jax.shard_map import shard_map  # type: ignore
+        from jax import shard_map as _sm  # jax >= 0.8 home
+        # the stable API renamed check_rep -> check_vma
+        def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=check_rep)
+    except ImportError:  # older jax: deprecated experimental home
+        from jax.experimental.shard_map import shard_map  # type: ignore
 
     if adapter is None:
         adapter = make_adapter(opt.get("model", {}).get("name", ""))
@@ -230,7 +236,15 @@ def make_train_step_shard_map(model, opt, min_depth: float, max_depth: float,
     def loss_fn(params, batch_stats, images, depths, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         import contextlib
-        ctx = tnn.bn_freeze_scope() if freeze_bn else contextlib.nullcontext()
+        # same freeze semantics as the GSPMD step's _freeze_ctx (ADVICE r4
+        # medium #2 — the driver's freeze_encoder_bn schedule must not be
+        # dropped under train.spmd=shard_map)
+        if freeze_bn:
+            ctx = tnn.bn_freeze_scope()
+        elif freeze_encoder_bn:
+            ctx = tnn.bn_freeze_scope(tnn.encoder_only)
+        else:
+            ctx = contextlib.nullcontext()
         with ctx:
             out, updates = model.apply(variables, images, train=True,
                                        rngs={"dropout": rng},
@@ -292,7 +306,10 @@ def make_train_step_shard_map(model, opt, min_depth: float, max_depth: float,
         out_specs=(rep, rep, rep, rep, rep),
         check_rep=False)
 
-    @jax.jit
+    # donate=True reuses the incoming TrainState's buffers in place, halving
+    # peak HBM — the driver opts in (ADVICE r4 medium #2); default stays
+    # False because donation invalidates the caller's state reference
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng):
         params, batch_stats, opt_state, step_no, logs = mapped(
             state.params, state.batch_stats, state.opt_state, state.step,

@@ -520,9 +520,31 @@ def test_tensor_parallel_2d_mesh_matches_replicated():
     mesh2d = make_mesh(n_data=2, n_model=4)
     assert mesh2d.devices.shape == (2, 4)
     with mesh2d:
+        # the constraint must actually APPLY under a plain `with mesh:`
+        # context (ADVICE r4 medium #1: the old abstract-mesh guard silently
+        # no-oped here, making this test pass vacuously)
+        from mde_tpu.ops.mlp import _tp_shard_channels
+        act = jax.jit(lambda a: _tp_shard_channels(a, MODEL_AXIS))(
+            jnp.ones((2, 4, 4, 8)))
+        tp_spec = act.sharding.spec
+        assert tuple(tp_spec) and tp_spec[-1] == MODEL_AXIS, tp_spec
+
         s2d = replicate(mesh2d, state)
         b2d = shard_batch(mesh2d, batch)
-        new2d, logs2d = step(s2d, b2d, jax.random.PRNGKey(8))
+        # and the jitted step's program must carry MORE sharding
+        # annotations than the tp-less model's (the GLU/conv activation
+        # constraints), proving the constraint survives into the traced step
+        opt_notp = load_config(TINY_OPT)
+        model_notp = build_model(opt_notp, 0.001, 80.0, use_checkpoint=False,
+                                 resize_to_multiple=False,
+                                 encoder_kwargs=TINY_ENC)
+        step_notp = make_train_step(model_notp, opt_notp, 0.001, 80.0, tx,
+                                    num_accum=1, donate=False)
+        rng8 = jax.random.PRNGKey(8)
+        n_tp = step.lower(s2d, b2d, rng8).as_text().count("sharding")
+        n_notp = step_notp.lower(s2d, b2d, rng8).as_text().count("sharding")
+        assert n_tp > n_notp, (n_tp, n_notp)
+        new2d, logs2d = step(s2d, b2d, rng8)
         loss2d = float(logs2d["loss"])
 
     # reference: same step on a plain data-only mesh (batch 4 -> 4-way)
