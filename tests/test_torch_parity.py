@@ -86,6 +86,34 @@ def test_gelu_is_exact_erf():
     assert np.max(np.abs(approx - ref)) > 1e-4
 
 
+def test_gelu_bf16_fast_path_within_bf16_accuracy():
+    """In bfloat16 tnn.gelu uses the tanh approximation (the erf polynomial
+    is VPU-bound: measured 8.4x slower at flagship FF shapes — see
+    tnn.gelu's docstring). The switch must be invisible at bf16 precision:
+    |tanh_bf16 - erf_f32| stays within the bf16 rounding envelope of
+    |erf_bf16 - erf_f32| itself, and MDE_EXACT_GELU=1 restores erf."""
+    import torch
+
+    x = np.linspace(-6, 6, 401, dtype=np.float32)
+    ref = torch.nn.GELU()(torch.from_numpy(x)).numpy()
+    fast = np.asarray(tnn.gelu(jnp.asarray(x, jnp.bfloat16)), np.float32)
+    exact_bf16 = np.asarray(
+        tnn._exact_gelu(jnp.asarray(x, jnp.bfloat16)), np.float32)
+    err_fast = np.abs(fast - ref).max()
+    err_exact = np.abs(exact_bf16 - ref).max()
+    # one bf16 ulp of headroom over the unavoidable bf16-erf error
+    assert err_fast <= err_exact + 0.033, (err_fast, err_exact)
+
+    import os
+    os.environ["MDE_EXACT_GELU"] = "1"
+    try:
+        forced = np.asarray(tnn.gelu(jnp.asarray(x, jnp.bfloat16)),
+                            np.float32)
+        np.testing.assert_array_equal(forced, exact_bf16)
+    finally:
+        del os.environ["MDE_EXACT_GELU"]
+
+
 def test_layernorm_eps_matches_torch():
     x = _rand((4, 32), seed=4) * 1e-3  # small variance makes eps visible
     ln = tnn.LayerNorm()
