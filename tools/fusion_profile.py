@@ -92,7 +92,10 @@ def categorize(name: str) -> str:
     if "dynamic" in base or "slice" in base or "concatenate" in base \
             or "pad" in base or "gather" in base:
         return "slice/concat/pad"
-    if "custom-call" in name:
+    # only the OP ITSELF being a custom-call counts (an operand named
+    # %custom-call.N must not reclassify a fusion)
+    rhs = name.split(" = ", 1)[1] if " = " in name else name
+    if "custom-call(" in rhs or "custom_call_target" in rhs:
         return "custom-call(pallas)"
     return "elementwise-fusion"
 
