@@ -28,7 +28,8 @@ class DataLoader:
                  drop_last: bool = True,
                  device_augment: bool = True,
                  seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 host_only: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +42,11 @@ class DataLoader:
         self.eval_raw = dataset.mode != "train"
         self.seed = seed
         self.prefetch = prefetch
+        # host_only: yield stacked HOST batches (numpy) without the device
+        # transfer/augment dispatch — isolates the host pipeline for
+        # benchmarking (tools/bench_loader.py) and for consumers that manage
+        # their own device placement
+        self.host_only = host_only
 
         spec = dataset.spec
         self.aug_cfg = AugmentConfig(
@@ -141,8 +147,11 @@ class DataLoader:
                         if nf:
                             pending.append(nf)
                         next_b += 1
-                    key, sub = jax.random.split(key)
-                    device_buf.append(self._to_device(host, sub))
+                    if self.host_only:
+                        device_buf.append(host)
+                    else:
+                        key, sub = jax.random.split(key)
+                        device_buf.append(self._to_device(host, sub))
                 yield device_buf.popleft()
 
     def __iter__(self):

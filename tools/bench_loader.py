@@ -109,6 +109,26 @@ def main():
             print(f"decode-only workers={nw}: {args.n / dt:.1f} img/s",
                   file=sys.stderr)
 
+        # stage 2: the HOST pipeline (decode + crop + stack, no device work)
+        # — this is what must outrun the chip in deployment, where the fused
+        # augment runs ON TPU and overlaps compute via the one-batch-ahead
+        # dispatch; running the augment on this CPU backend (stage 3) bounds
+        # it from below but mostly measures XLA:CPU, not the host path
+        host_results = {}
+        for nw in [int(x) for x in args.workers.split(",")]:
+            loader = DataLoader(ds, batch_size=args.batch, shuffle=True,
+                                num_workers=nw, host_only=True)
+            for _ in loader.epoch(0):
+                pass  # warmup (page cache)
+            t0 = time.perf_counter()
+            n_img = 0
+            for batch in loader.epoch(1):
+                n_img += batch["image"].shape[0]
+            dt = time.perf_counter() - t0
+            host_results[nw] = n_img / dt
+            print(f"host-pipeline workers={nw}: {n_img / dt:.1f} img/s",
+                  file=sys.stderr)
+
         results = {}
         for nw in [int(x) for x in args.workers.split(",")]:
             loader = DataLoader(ds, batch_size=args.batch, shuffle=True,
@@ -123,13 +143,17 @@ def main():
                 n_img += batch["image"].shape[0]
             dt = time.perf_counter() - t0
             results[nw] = n_img / dt
-            print(f"workers={nw}: {n_img / dt:.1f} img/s", file=sys.stderr)
+            print(f"with-cpu-augment workers={nw}: {n_img / dt:.1f} img/s",
+                  file=sys.stderr)
 
-        best = max(results.values())
+        best = max(host_results.values())
         print(json.dumps({
             "metric": f"host_loader_{args.dataset.lower()}_images_per_sec",
             "value": round(best, 1), "unit": "img/s",
-            "per_workers": {str(k): round(v, 1) for k, v in results.items()},
+            "per_workers_host": {str(k): round(v, 1)
+                                 for k, v in host_results.items()},
+            "per_workers_with_cpu_augment": {str(k): round(v, 1)
+                                             for k, v in results.items()},
             "batch": args.batch, "n_images": args.n,
         }))
     finally:
