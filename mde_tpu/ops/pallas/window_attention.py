@@ -48,7 +48,19 @@ def _pick_tb(bw: int, nw: Optional[int],
     TB % 8 == 0 to satisfy Mosaic's sublane tiling. The floor wins over the
     budget (the budget is ~2x conservative vs the 16 MB hardware limit);
     returns None when no divisor >= min_tb exists (caller falls back to the
-    XLA path)."""
+    XLA path).
+
+    ``MDE_WATTN_TB`` overrides the choice for shape-specific tuning (round-5
+    sweep at (1568,128,512): the budget-driven tb=8 measured 2.58 ms vs
+    tb=4's 1.46 — smaller blocks double-buffer better well before the VMEM
+    estimate says so; the flagship's ordered kernel prefers its
+    budget-driven choice, so the default logic is unchanged)."""
+    import os
+    forced = os.environ.get("MDE_WATTN_TB", "")
+    if forced:
+        tb = int(forced)
+        if bw % tb == 0 and (nw is None or nw % tb == 0) and tb >= min_tb:
+            return tb
     fallback = None
     for tb in (16, 8, 4, 2, 1):
         if tb < min_tb:
