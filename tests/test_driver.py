@@ -206,3 +206,24 @@ def test_aot_export_roundtrip(tmp_path):
         variables, x)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.heavy
+def test_trainer_spmd_shard_map_path(tmp_path):
+    """train.spmd='shard_map' drives the explicit-SPMD step through the
+    driver (Pallas-per-shard production path — step.py
+    make_train_step_shard_map), including freeze_encoder_bn threading and
+    state donation (ADVICE r4 medium #2). Batch 8 over the 8-device mesh
+    with num_accum=2 -> per-shard microbatches of 1."""
+    cfg = dict(TINY_OPT, output_dir=str(tmp_path))
+    cfg["dataloader"] = {"batch_size": 8, "num_workers": 2}
+    cfg["train"] = dict(TINY_OPT["train"], spmd="shard_map",
+                        freeze_encoder_bn=True, valid_freq=1000)
+    opt = load_config(cfg)
+    trainer = Trainer(opt, model_overrides=dict(
+        use_checkpoint=False, resize_to_multiple=False,
+        encoder_kwargs=TINY_ENC))
+    assert trainer.mesh is not None
+    trainer.init_state()
+    trainer.fit(max_steps=2)
+    assert trainer.global_step == 2
